@@ -1,0 +1,173 @@
+"""Correlative scan matching (CSM) sweep as dense MXU ops.
+
+This is the TPU-native replacement for both the reference's software CSM
+inner loops (``scan_matcher_correlative.cpp:301-368``) and its FPGA CSM IP
+core (``scan_matcher_correlative_fpga.cpp:188-371``): the matching score
+over an entire pose search window ``[n_theta, n_y, n_x]`` is produced by
+two dense operations instead of per-candidate scalar loops:
+
+1. **Hit-image build** (per theta): each beam's endpoint cell is encoded as
+   the outer product of row/column one-hot vectors; summing over beams via
+   a batched matmul yields a per-theta "hit count" image.  This is exact in
+   bfloat16 (values are small integers) and maps onto the MXU.
+2. **Window sweep**: the score at translation offset (dy, dx) is the
+   correlation of the hit image with the occupancy-probability crop, i.e. a
+   single ``lax.conv`` with the hit images as filters and the (prob,
+   observed) planes as a 2-image batch; ``window_strides`` implements the
+   coarse-grid stride of the reference's low-resolution pass for free.
+
+Score semantics follow ``score_function_pixel_accurate.cpp:16-58``:
+``scores`` is the plain sum of probabilities at known cells (normalize by
+the true beam count outside), ``known`` the count of known cells.  Cells
+outside the crop contribute unknown (0), exactly like out-of-map lookups.
+
+The caller fixes all shapes statically (beam capacity, crop size, window
+extents); data-dependent quantities (theta step, window validity) are
+traced values handled by masking.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_theta",
+        "nx",
+        "ny",
+        "stride",
+        "crop_rows",
+        "crop_cols",
+        "precision",
+    ),
+)
+def csm_sweep(
+    prob: jax.Array,  # [H, W] f32 probability map, 0 = unknown
+    observed: jax.Array,  # [H, W] bool
+    ranges: jax.Array,  # [B] f32
+    angles: jax.Array,  # [B] f32
+    beam_mask: jax.Array,  # [B] bool
+    sensor_pose: jax.Array,  # [3] f32 map-local sensor pose (search center)
+    theta0_index: jax.Array,  # [] i32: t index of the first theta candidate
+    step_theta: jax.Array,  # [] f32
+    theta_mask: jax.Array,  # [n_theta] bool: candidate validity
+    x0: jax.Array,  # [] i32 first x offset (cells)
+    y0: jax.Array,  # [] i32 first y offset (cells)
+    resolution: float,
+    offset_xy: jax.Array,  # [2] f32 raster offset of `prob` (map-local)
+    *,
+    n_theta: int,
+    nx: int,
+    ny: int,
+    stride: int = 1,
+    crop_rows: int = 256,
+    crop_cols: int = 256,
+    precision: str = "highest",
+):
+    """Evaluate the CSM score over the pose grid.
+
+    Candidate poses: ``theta_t = pose.theta + (theta0_index + t) * step_theta``
+    for ``t in [0, n_theta)``; translation offsets ``(x0 + i*stride,
+    y0 + j*stride)`` grid cells for ``i in [0, nx)``, ``j in [0, ny)``.
+
+    Returns ``(scores, known)`` of shape ``[n_theta, ny, nx]`` (f32): the
+    summed probability and known-cell count per candidate.
+    """
+    H, W = prob.shape
+    res = jnp.float32(resolution)
+    dtype = jnp.bfloat16 if precision == "fast" else jnp.float32
+
+    # --- per-(theta, beam) endpoint cells, in full-map cell coords -------
+    t_idx = theta0_index + jnp.arange(n_theta, dtype=jnp.int32)
+    thetas = sensor_pose[2] + t_idx.astype(jnp.float32) * step_theta
+    ang = thetas[:, None] + angles[None, :]  # [T, B]
+    hx = sensor_pose[0] + ranges[None, :] * jnp.cos(ang)
+    hy = sensor_pose[1] + ranges[None, :] * jnp.sin(ang)
+    col = jnp.floor((hx - offset_xy[0]) / res).astype(jnp.int32)  # [T, B]
+    row = jnp.floor((hy - offset_xy[1]) / res).astype(jnp.int32)
+
+    # --- crop anchor: cover beam bbox plus the translation window --------
+    # The crop holds the *hit image*; the conv input additionally extends by
+    # the window extent. Valid rows for the hit image: [r0, r0+crop_rows).
+    big = jnp.int32(1 << 30)
+    masked_row = jnp.where(beam_mask[None, :], row, big)
+    masked_col = jnp.where(beam_mask[None, :], col, big)
+    r_min = jnp.min(masked_row)
+    c_min = jnp.min(masked_col)
+    # Anchor a touch early so floor-rounding never clips the first beam
+    r0 = r_min - 2
+    c0 = c_min - 2
+
+    hr = row - r0  # [T, B] hit-image coords
+    hc = col - c0
+    valid = (
+        beam_mask[None, :]
+        & (hr >= 0)
+        & (hr < crop_rows)
+        & (hc >= 0)
+        & (hc < crop_cols)
+    )
+
+    # --- one-hot hit images via batched outer-product matmul -------------
+    iota_r = jnp.arange(crop_rows, dtype=jnp.int32)
+    iota_c = jnp.arange(crop_cols, dtype=jnp.int32)
+    onehot_r = (hr[:, :, None] == iota_r[None, None, :]) & valid[:, :, None]
+    onehot_c = hc[:, :, None] == iota_c[None, None, :]
+    onehot_r = onehot_r.astype(dtype) * theta_mask[:, None, None].astype(dtype)
+    onehot_c = onehot_c.astype(dtype)
+    # [T, crop_rows, B] @ [T, B, crop_cols] -> [T, crop_rows, crop_cols]
+    hit_img = jax.lax.batch_matmul(
+        jnp.swapaxes(onehot_r, 1, 2), onehot_c,
+        preferred_element_type=jnp.float32,
+    )
+
+    # --- conv input: (prob, observed) crop shifted by the window origin --
+    in_rows = crop_rows + (ny - 1) * stride
+    in_cols = crop_cols + (nx - 1) * stride
+    # input[r, c] = map[r0 + y0 + r, c0 + x0 + c]  (zero outside)
+    pad = max(in_rows, in_cols)
+    planes = jnp.stack([prob, observed.astype(jnp.float32)], axis=0)
+    planes = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)))
+    start_r = jnp.clip(r0 + y0 + pad, 0, planes.shape[1] - in_rows)
+    start_c = jnp.clip(c0 + x0 + pad, 0, planes.shape[2] - in_cols)
+    inp = jax.lax.dynamic_slice(
+        planes,
+        (jnp.int32(0), start_r, start_c),
+        (2, in_rows, in_cols),
+    ).astype(dtype)
+
+    out = jax.lax.conv_general_dilated(
+        inp[:, None, :, :],  # [2, 1, in_rows, in_cols]
+        hit_img.astype(dtype)[:, None, :, :],  # [T, 1, crop_rows, crop_cols]
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )  # [2, T, ny, nx]
+    scores = out[0]
+    known = out[1]
+    return scores, known
+
+
+def theta_search_params(ranges, beam_mask, resolution, range_theta, n_theta):
+    """Search step and window in theta, per the reference
+    (``scan_matcher_correlative.cpp:255-274``): ``step = acos(1 - 0.5 *
+    (res / max_range)^2)``, ``win = ceil(0.5 * range_theta / step)``.
+
+    Returns (step_theta, theta0_index, theta_mask[n_theta]) where candidate
+    ``t`` has index ``theta0_index + t`` and is valid iff within the window.
+    All are traced values; ``n_theta`` bounds the window statically.
+    """
+    max_range = jnp.max(jnp.where(beam_mask, ranges, 0.0))
+    tt = jnp.float32(resolution) / max_range
+    step_theta = jnp.arccos(1.0 - 0.5 * tt * tt)
+    win_t = jnp.ceil(0.5 * range_theta / step_theta).astype(jnp.int32)
+    half = n_theta // 2
+    theta0_index = -jnp.minimum(win_t, half)
+    t_idx = theta0_index + jnp.arange(n_theta, dtype=jnp.int32)
+    theta_mask = (t_idx >= -win_t) & (t_idx <= win_t)
+    return step_theta, theta0_index, theta_mask

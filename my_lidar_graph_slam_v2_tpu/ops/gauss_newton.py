@@ -1,0 +1,183 @@
+"""Square-error cost, gradient, Gauss-Newton step and pose covariance.
+
+Vectorized re-formulation of ``cost_function_square_error.cpp``:
+
+* cost(pose)   = sum_b (1 - M_smooth(hit_b))^2 over valid beams, where
+  ``M_smooth`` is the bilinear interpolation of the probability map with
+  unknown cells read as 0.5 and indices clamped to the raster
+  (``GetClosestMapValues``, ``cost_function_square_error.cpp:326-351``).
+* H, b         = J^T J and J^T r with the analytic map-gradient Jacobian
+  (``ComputeHessianAndResidual``, lines 151-194).
+* covariance   = scale * H^{-1} (lines 131-146; scale = 1e4 default).
+* one LM step  = solve (H + lambda I) dp = b  (``ScanMatcherLinearSolver::
+  OptimizeStep``, ``scan_matcher_linear_solver.cpp:143-167``).
+
+The full iterative matcher (lambda schedule, convergence test) lives in
+``matching/linear_solver.py``; these are the fused device kernels.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_values(prob, observed, frow, fcol):
+    """Four corner probabilities + fractional offsets for float indices.
+
+    Unknown or out-of-range corners read 0.5 (``ProbabilityOr(..., 0.5)``
+    with clamped indices)."""
+    H, W = prob.shape
+    r0 = jnp.floor(frow)
+    c0 = jnp.floor(fcol)
+    dr = (frow - r0).astype(jnp.float32)
+    dc = (fcol - c0).astype(jnp.float32)
+    # Corner indices as in the reference (low corner clamped to >= 0, high
+    # corner to <= size-1, cost_function_square_error.cpp:333-338); any
+    # corner still outside the raster or unknown reads 0.5.
+    rc0 = jnp.maximum(r0.astype(jnp.int32), 0)
+    cc0 = jnp.maximum(c0.astype(jnp.int32), 0)
+    rc1 = jnp.minimum(rc0 + 1, H - 1)
+    cc1 = jnp.minimum(cc0 + 1, W - 1)
+
+    def read(r, c):
+        inside = (r >= 0) & (r < H) & (c >= 0) & (c < W)
+        rs = jnp.clip(r, 0, H - 1)
+        cs = jnp.clip(c, 0, W - 1)
+        p = prob[rs, cs]
+        known = observed[rs, cs] & inside
+        return jnp.where(known, p, 0.5)
+
+    m00 = read(rc0, cc0)  # (row0, col0)
+    m01 = read(rc1, cc0)  # (row1, col0)
+    m10 = read(rc0, cc1)  # (row0, col1)
+    m11 = read(rc1, cc1)  # (row1, col1)
+    return m00, m01, m10, m11, dr, dc
+
+
+def _interp_and_grad(prob, observed, frow, fcol):
+    """Smoothed value + scaled gradient (d/d(col), d/d(row)), matching
+    ``BilinearInterpolation`` and ``ComputeScaledMapGradMapPoint``.
+
+    In reference terms deltaX ~ fractional col, deltaY ~ fractional row."""
+    m00, m01, m10, m11, dr, dc = _bilinear_values(prob, observed, frow, fcol)
+    value = dr * (dc * m11 + (1.0 - dc) * m01) + (1.0 - dr) * (
+        dc * m10 + (1.0 - dc) * m00
+    )
+    grad_x = dr * (m11 - m01) + (1.0 - dr) * (m10 - m00)  # d/d(col) scaled
+    grad_y = dc * (m11 - m10) + (1.0 - dc) * (m01 - m00)  # d/d(row) scaled
+    return value, grad_x, grad_y
+
+
+def _hit_points(sensor_pose, ranges, angles):
+    ang = sensor_pose[2] + angles
+    hx = sensor_pose[0] + ranges * jnp.cos(ang)
+    hy = sensor_pose[1] + ranges * jnp.sin(ang)
+    return hx, hy
+
+
+def cost(prob, observed, ranges, angles, mask, sensor_pose, resolution, offset_xy):
+    """Total squared-error cost over valid beams."""
+    hx, hy = _hit_points(sensor_pose, ranges, angles)
+    fcol = (hx - offset_xy[0]) / resolution
+    frow = (hy - offset_xy[1]) / resolution
+    value, _, _ = _interp_and_grad(prob, observed, frow, fcol)
+    err = jnp.where(mask, 1.0 - value, 0.0)
+    return jnp.sum(err * err)
+
+
+def hessian_and_residual(
+    prob, observed, ranges, angles, mask, sensor_pose, resolution, offset_xy
+):
+    """(H [3,3], b [3], cost) at the given map-local sensor pose."""
+    hx, hy = _hit_points(sensor_pose, ranges, angles)
+    fcol = (hx - offset_xy[0]) / resolution
+    frow = (hy - offset_xy[1]) / resolution
+    value, gx, gy = _interp_and_grad(prob, observed, frow, fcol)
+    inv_res = 1.0 / resolution
+    gx = gx * inv_res
+    gy = gy * inv_res
+    # Rotated scan point relative to the sensor (localHitPoint - sensorPos)
+    rx = hx - sensor_pose[0]
+    ry = hy - sensor_pose[1]
+    gt = -ry * gx + rx * gy
+    J = jnp.stack([gx, gy, gt], axis=-1)  # [B, 3]
+    r = 1.0 - value  # [B]
+    w = mask.astype(jnp.float32)
+    Jw = J * w[:, None]
+    H = Jw.T @ J
+    b = Jw.T @ r
+    c = jnp.sum(w * r * r)
+    return H, b, c
+
+
+def covariance(
+    prob, observed, ranges, angles, mask, sensor_pose, resolution, offset_xy,
+    scale=1e4,
+):
+    """Pose covariance = scale * H^{-1} (map-local frame)."""
+    H, _, _ = hessian_and_residual(
+        prob, observed, ranges, angles, mask, sensor_pose, resolution, offset_xy
+    )
+    return jnp.linalg.inv(H) * scale
+
+
+def gn_refine(
+    prob,
+    observed,
+    ranges,
+    angles,
+    mask,
+    sensor_pose0,
+    resolution,
+    offset_xy,
+    max_iterations=10,
+    convergence_threshold=1e-4,
+    initial_lambda=1e-4,
+):
+    """Iterative damped Gauss-Newton refinement; mirrors
+    ``ScanMatcherLinearSolver::OptimizePose`` including the lambda
+    halve/double schedule and the |prev - cost| convergence test.
+
+    Returns (pose, cost, n_iterations)."""
+
+    def cost_at(p):
+        return cost(prob, observed, ranges, angles, mask, p, resolution, offset_xy)
+
+    def step(p, lam):
+        H, b, _ = hessian_and_residual(
+            prob, observed, ranges, angles, mask, p, resolution, offset_xy
+        )
+        H = H + lam * jnp.eye(3, dtype=H.dtype)
+        dp = jnp.linalg.solve(H, b)
+        return p + dp
+
+    def cond(state):
+        p, prev_cost, cur_cost, lam, it, done = state
+        return jnp.logical_not(done)
+
+    def body(state):
+        p, prev_cost, cur_cost, lam, it, done = state
+        p_new = step(p, lam)
+        c_new = cost_at(p_new)
+        it_new = it + 1
+        stop = (it_new >= max_iterations) | (
+            jnp.abs(prev_cost - c_new) < convergence_threshold
+        )
+        lam_new = jnp.where(
+            c_new < prev_cost,
+            jnp.maximum(1e-8, lam * 0.5),
+            jnp.minimum(1e-4, lam * 2.0),
+        )
+        return (p_new, c_new, c_new, lam_new, it_new, stop)
+
+    init_cost = cost_at(sensor_pose0)
+    state = (
+        sensor_pose0,
+        init_cost,
+        init_cost,
+        jnp.float32(initial_lambda),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    p, _, final_cost, _, iters, _ = jax.lax.while_loop(cond, body, state)
+    return p, final_cost, iters
