@@ -1,0 +1,236 @@
+"""Real-time correlative scan matcher, TPU-native.
+
+Functional equivalent of ``ScanMatcherCorrelative``
+(``scan_matcher_correlative.cpp:116-368``) and its FPGA twin
+(``scan_matcher_correlative_fpga.cpp``): instead of walking candidates
+sequentially with coarse-map pruning against a running maximum, the whole
+window is evaluated as two dense sweeps (ops/csm.py) and the winner picked
+by a masked argmax:
+
+* coarse sweep: stride ``low_resolution`` on the sliding-window-max map —
+  used only for the score/known-rate *gating* semantics of the reference
+  (a fine candidate is eligible iff its coarse block passes both
+  thresholds; since the coarse map upper-bounds the fine scores, the
+  surviving argmax is identical to the reference's prune-then-descend).
+* fine sweep: stride 1 over the union of all coarse blocks
+  ``[-win, -win + n_blocks*low_res)``, matching the reference's
+  ``EvaluateHighResolutionMap`` block extent.
+* tie-break: candidates ordered (theta, x, y) with first-wins argmax,
+  matching the reference loop nesting.
+
+The argmax pose is then polished by the caller's final matcher (GN); this
+class also reports cost and covariance at the winner like the reference
+(``scan_matcher_correlative.cpp:209-216``).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import pose as P
+from ..ops import csm, gauss_newton, pool
+from .types import MapRaster, ScanArrays, ScanMatchingQuery, ScanMatchingSummary
+
+
+@dataclass(frozen=True)
+class CorrelativeConfig:
+    low_resolution: int = 5
+    range_x: float = 0.25
+    range_y: float = 0.25
+    range_theta: float = 0.5
+    resolution: float = 0.05
+    n_theta_max: int = 208
+    crop_rows: int = 384
+    crop_cols: int = 384
+    covariance_scale: float = 1e4
+    precision: str = "highest"
+
+    @property
+    def win_cells(self):
+        wx = int(math.ceil(0.5 * self.range_x / self.resolution))
+        wy = int(math.ceil(0.5 * self.range_y / self.resolution))
+        return wx, wy
+
+    @property
+    def blocks(self):
+        wx, wy = self.win_cells
+        nbx = (2 * wx) // self.low_resolution + 1
+        nby = (2 * wy) // self.low_resolution + 1
+        return nbx, nby
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",)
+)
+def _correlative_core(
+    cfg: CorrelativeConfig,
+    prob,
+    observed,
+    coarse_prob,
+    coarse_observed,
+    ranges,
+    angles,
+    mask,
+    sensor_pose,
+    offset_xy,
+    score_threshold,
+    known_rate_threshold,
+):
+    wx, wy = cfg.win_cells
+    nbx, nby = cfg.blocks
+    nxf, nyf = nbx * cfg.low_resolution, nby * cfg.low_resolution
+    T = cfg.n_theta_max
+
+    step_theta, theta0, theta_mask = csm.theta_search_params(
+        ranges, mask, cfg.resolution, cfg.range_theta, T
+    )
+    n_valid = jnp.sum(mask).astype(jnp.float32)
+    norm = 1.0 / jnp.maximum(n_valid, 1.0)
+
+    common = dict(
+        ranges=ranges,
+        angles=angles,
+        beam_mask=mask,
+        sensor_pose=sensor_pose,
+        theta0_index=theta0,
+        step_theta=step_theta,
+        theta_mask=theta_mask,
+        x0=jnp.int32(-wx),
+        y0=jnp.int32(-wy),
+        resolution=cfg.resolution,
+        offset_xy=offset_xy,
+    )
+    c_scores, c_known = csm.csm_sweep(
+        coarse_prob,
+        coarse_observed,
+        n_theta=T,
+        nx=nbx,
+        ny=nby,
+        stride=cfg.low_resolution,
+        crop_rows=cfg.crop_rows,
+        crop_cols=cfg.crop_cols,
+        precision=cfg.precision,
+        **common,
+    )
+    f_scores, f_known = csm.csm_sweep(
+        prob,
+        observed,
+        n_theta=T,
+        nx=nxf,
+        ny=nyf,
+        stride=1,
+        crop_rows=cfg.crop_rows,
+        crop_cols=cfg.crop_cols,
+        precision=cfg.precision,
+        **common,
+    )
+
+    # Reference gating: a fine candidate is reachable iff its coarse block
+    # beats BOTH thresholds (scan_matcher_correlative.cpp:178-189)
+    block_ok = (c_scores * norm > score_threshold) & (
+        c_known * norm > known_rate_threshold
+    )  # [T, nby, nbx]
+    ok = jnp.repeat(
+        jnp.repeat(block_ok, cfg.low_resolution, axis=1),
+        cfg.low_resolution,
+        axis=2,
+    )  # [T, nyf, nxf]
+    eligible = ok & theta_mask[:, None, None]
+
+    # Order (theta, x, y) to match the reference's loop nesting tie-break
+    scores_txy = jnp.where(
+        eligible, f_scores, -jnp.inf
+    ).transpose(0, 2, 1)  # [T, nxf, nyf]
+    flat = scores_txy.reshape(-1)
+    best = jnp.argmax(flat)
+    bt, bx, by = (
+        best // (nxf * nyf),
+        (best // nyf) % nxf,
+        best % nyf,
+    )
+    best_sum = flat[best]
+    best_score = best_sum * norm
+    best_known = f_known.transpose(0, 2, 1).reshape(-1)[best] * norm
+    pose_found = best_score > score_threshold
+
+    best_sensor_pose = jnp.stack(
+        [
+            sensor_pose[0] + (bx.astype(jnp.float32) - wx) * cfg.resolution,
+            sensor_pose[1] + (by.astype(jnp.float32) - wy) * cfg.resolution,
+            sensor_pose[2]
+            + (theta0 + bt).astype(jnp.float32) * step_theta,
+        ]
+    )
+
+    cost_val = gauss_newton.cost(
+        prob, observed, ranges, angles, mask, best_sensor_pose,
+        cfg.resolution, offset_xy,
+    )
+    cov = gauss_newton.covariance(
+        prob, observed, ranges, angles, mask, best_sensor_pose,
+        cfg.resolution, offset_xy, cfg.covariance_scale,
+    )
+    return (
+        best_sensor_pose,
+        best_score,
+        best_known,
+        pose_found,
+        cost_val * norm,
+        cov,
+    )
+
+
+class ScanMatcherCorrelative:
+    """Host-side wrapper holding the static config and coarse-map cache."""
+
+    def __init__(self, cfg: CorrelativeConfig):
+        self.cfg = cfg
+
+    def coarse_of(self, grid_map: MapRaster):
+        key = ("swmax", self.cfg.low_resolution)
+        if key not in grid_map.coarse:
+            cp = pool.sliding_window_max2d(grid_map.prob, self.cfg.low_resolution)
+            co = pool.sliding_window_max2d(grid_map.observed, self.cfg.low_resolution)
+            grid_map.coarse[key] = (cp, co)
+        return grid_map.coarse[key]
+
+    def optimize_pose(
+        self,
+        query: ScanMatchingQuery,
+        score_threshold: float = 0.0,
+        known_rate_threshold: float = 0.0,
+    ) -> ScanMatchingSummary:
+        gm, scan = query.grid_map, query.scan
+        sensor_pose = P.compound(query.initial_pose, scan.rel_sensor_pose)
+        coarse_prob, coarse_obs = self.coarse_of(gm)
+        (pose_s, score, known, found, ncost, cov) = _correlative_core(
+            self.cfg,
+            gm.prob,
+            gm.observed,
+            coarse_prob,
+            coarse_obs,
+            scan.ranges,
+            scan.angles,
+            scan.mask,
+            jnp.asarray(sensor_pose, jnp.float32),
+            jnp.asarray(gm.offset_xy, jnp.float32),
+            jnp.float32(score_threshold),
+            jnp.float32(known_rate_threshold),
+        )
+        est_pose = P.move_backward(
+            np.asarray(pose_s, np.float64), scan.rel_sensor_pose
+        )
+        return ScanMatchingSummary(
+            pose_found=bool(found),
+            normalized_cost=float(ncost),
+            initial_pose=np.asarray(query.initial_pose),
+            estimated_pose=est_pose,
+            covariance=np.asarray(cov, np.float64),
+            normalized_score=float(score),
+            known_rate=float(known),
+        )

@@ -1,0 +1,73 @@
+"""Gauss-Newton (damped) sub-pixel scan matcher.
+
+Equivalent of ``ScanMatcherLinearSolver``
+(``scan_matcher_linear_solver.cpp``): iterative H dp = b refinement of the
+sensor pose on the square-error cost, with the reference's lambda
+halve/double schedule. The whole iteration runs device-side as one fused
+jit (``ops/gauss_newton.gn_refine``).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import pose as P
+from ..ops import gauss_newton
+from .types import ScanMatchingQuery, ScanMatchingSummary
+
+
+@dataclass(frozen=True)
+class LinearSolverConfig:
+    num_iterations_max: int = 10
+    convergence_threshold: float = 1e-4
+    initial_lambda: float = 1e-4
+    resolution: float = 0.05
+    covariance_scale: float = 1e4
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _refine_core(cfg, prob, observed, ranges, angles, mask, sensor_pose, offset_xy):
+    n = jnp.maximum(jnp.sum(mask).astype(jnp.float32), 1.0)
+    pose, cost, iters = gauss_newton.gn_refine(
+        prob, observed, ranges, angles, mask, sensor_pose,
+        cfg.resolution, offset_xy,
+        max_iterations=cfg.num_iterations_max,
+        convergence_threshold=cfg.convergence_threshold,
+        initial_lambda=cfg.initial_lambda,
+    )
+    cov = gauss_newton.covariance(
+        prob, observed, ranges, angles, mask, pose,
+        cfg.resolution, offset_xy, cfg.covariance_scale,
+    )
+    return pose, cost / n, cov, iters
+
+
+class ScanMatcherLinearSolver:
+    def __init__(self, cfg: LinearSolverConfig):
+        self.cfg = cfg
+
+    def optimize_pose(self, query: ScanMatchingQuery, **_) -> ScanMatchingSummary:
+        gm, scan = query.grid_map, query.scan
+        sensor_pose = P.compound(query.initial_pose, scan.rel_sensor_pose)
+        pose, ncost, cov, _ = _refine_core(
+            self.cfg,
+            gm.prob,
+            gm.observed,
+            scan.ranges,
+            scan.angles,
+            scan.mask,
+            jnp.asarray(sensor_pose, jnp.float32),
+            jnp.asarray(gm.offset_xy, jnp.float32),
+        )
+        est_pose = P.move_backward(np.asarray(pose, np.float64), scan.rel_sensor_pose)
+        return ScanMatchingSummary(
+            pose_found=True,
+            normalized_cost=float(ncost),
+            initial_pose=np.asarray(query.initial_pose),
+            estimated_pose=est_pose,
+            covariance=np.asarray(cov, np.float64),
+        )

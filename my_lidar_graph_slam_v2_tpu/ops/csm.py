@@ -94,8 +94,12 @@ def csm_sweep(
     # The crop holds the *hit image*; the conv input additionally extends by
     # the window extent. Valid rows for the hit image: [r0, r0+crop_rows).
     big = jnp.int32(1 << 30)
-    masked_row = jnp.where(beam_mask[None, :], row, big)
-    masked_col = jnp.where(beam_mask[None, :], col, big)
+    # Only *valid* (beam, theta) combinations participate in the bbox:
+    # padded theta indices can rotate beams far away and would otherwise
+    # drag the crop anchor off the real candidates.
+    bbox_mask = beam_mask[None, :] & theta_mask[:, None]
+    masked_row = jnp.where(bbox_mask, row, big)
+    masked_col = jnp.where(bbox_mask, col, big)
     r_min = jnp.min(masked_row)
     c_min = jnp.min(masked_col)
     # Anchor a touch early so floor-rounding never clips the first beam
@@ -120,8 +124,10 @@ def csm_sweep(
     onehot_r = onehot_r.astype(dtype) * theta_mask[:, None, None].astype(dtype)
     onehot_c = onehot_c.astype(dtype)
     # [T, crop_rows, B] @ [T, B, crop_cols] -> [T, crop_rows, crop_cols]
-    hit_img = jax.lax.batch_matmul(
-        jnp.swapaxes(onehot_r, 1, 2), onehot_c,
+    hit_img = jax.lax.dot_general(
+        jnp.swapaxes(onehot_r, 1, 2),
+        onehot_c,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
 
@@ -164,7 +170,9 @@ def theta_search_params(ranges, beam_mask, resolution, range_theta, n_theta):
     """
     max_range = jnp.max(jnp.where(beam_mask, ranges, 0.0))
     tt = jnp.float32(resolution) / max_range
-    step_theta = jnp.arccos(1.0 - 0.5 * tt * tt)
+    # acos(1 - 0.5 t^2) == 2 asin(t / 2); the latter is f32-stable for the
+    # tiny arguments involved (the naive form loses ~0.5% at t ~ 2.5e-3)
+    step_theta = 2.0 * jnp.arcsin(0.5 * tt)
     win_t = jnp.ceil(0.5 * range_theta / step_theta).astype(jnp.int32)
     half = n_theta // 2
     theta0_index = -jnp.minimum(win_t, half)

@@ -1,0 +1,181 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from my_lidar_graph_slam_v2_tpu.core import pose as P
+from my_lidar_graph_slam_v2_tpu.grid import values as gv
+from my_lidar_graph_slam_v2_tpu.grid.geometry import GridGeometry
+from my_lidar_graph_slam_v2_tpu.matching.correlative import (
+    CorrelativeConfig,
+    ScanMatcherCorrelative,
+)
+from my_lidar_graph_slam_v2_tpu.matching.linear_solver import (
+    LinearSolverConfig,
+    ScanMatcherLinearSolver,
+)
+from my_lidar_graph_slam_v2_tpu.matching.types import (
+    MapRaster,
+    ScanArrays,
+    ScanMatchingQuery,
+)
+from my_lidar_graph_slam_v2_tpu.ops import gauss_newton, pool, rasterize
+from my_lidar_graph_slam_v2_tpu.utils import oracle
+
+RES = 0.05
+LO_HIT = float(np.log(gv.prob_to_odds(0.62)))
+LO_MISS = float(np.log(gv.prob_to_odds(0.46)))
+
+
+def synth_world_scan(pose, n_beams=128, rng=None):
+    """Ranges to the walls of a 6x6 m square room centered at origin, from
+    ``pose``, with optional noise."""
+    half = 3.0
+    angles = np.linspace(-np.pi, np.pi, n_beams, endpoint=False)
+    dirs = angles + pose[2]
+    cx, cy = pose[0], pose[1]
+    ranges = np.full(n_beams, np.inf)
+    for wall_dim, sign in [(0, 1), (0, -1), (1, 1), (1, -1)]:
+        d = np.cos(dirs) if wall_dim == 0 else np.sin(dirs)
+        denom = np.where(np.abs(d) < 1e-9, 1e-9, d)
+        t = (sign * half - (cx if wall_dim == 0 else cy)) / denom
+        other = (cy if wall_dim == 0 else cx) + t * (
+            np.sin(dirs) if wall_dim == 0 else np.cos(dirs)
+        )
+        valid = (t > 0) & (np.abs(other) <= half + 1e-9)
+        ranges = np.where(valid, np.minimum(ranges, t), ranges)
+    if rng is not None:
+        ranges = ranges + rng.normal(0, 0.005, n_beams)
+    return ranges, angles
+
+
+def build_map(scan_poses, rows=320, cols=320, off=-8.0, rng=None):
+    geom = GridGeometry(RES, rows, cols, off, off)
+    lo = jnp.zeros((rows, cols), jnp.float32)
+    obs = jnp.zeros((rows, cols), bool)
+    sensors, hits, masks = [], [], []
+    for sp in scan_poses:
+        ranges, angles = synth_world_scan(sp, rng=rng)
+        hx = sp[0] + ranges * np.cos(sp[2] + angles)
+        hy = sp[1] + ranges * np.sin(sp[2] + angles)
+        sensors.append([sp[0], sp[1]])
+        hits.append(np.stack([hx, hy], -1))
+        masks.append(np.ones(len(ranges), bool))
+    lo, obs = rasterize.integrate_scans(
+        lo, obs,
+        jnp.asarray(np.array(sensors), jnp.float32),
+        jnp.asarray(np.array(hits), jnp.float32),
+        jnp.asarray(np.array(masks)),
+        RES,
+        jnp.array([off, off], jnp.float32),
+        LO_HIT, LO_MISS,
+    )
+    prob = rasterize.prob_map(lo, obs)
+    return MapRaster(prob, obs, RES, np.array([off, off])), geom
+
+
+def make_scan_arrays(pose, cap=192, rng=None):
+    ranges, angles = synth_world_scan(pose, rng=rng)
+    n = len(ranges)
+    r = np.zeros(cap, np.float32)
+    a = np.zeros(cap, np.float32)
+    m = np.zeros(cap, bool)
+    r[:n], a[:n], m[:n] = ranges, angles, True
+    return ScanArrays(
+        jnp.asarray(r), jnp.asarray(a), jnp.asarray(m),
+        rel_sensor_pose=np.zeros(3), num_valid=n,
+    )
+
+
+def test_correlative_recovers_offset():
+    rng = np.random.default_rng(3)
+    true_pose = np.array([0.4, -0.3, 0.2])
+    gm, _ = build_map(
+        [np.array([0.0, 0.0, 0.0])] * 5 + [true_pose] * 5, rng=rng
+    )
+    scan = make_scan_arrays(true_pose)
+    # Perturb the initial pose within the search window
+    init = true_pose + np.array([0.08, -0.09, 0.13])
+    cfg = CorrelativeConfig(crop_rows=320, crop_cols=320)
+    matcher = ScanMatcherCorrelative(cfg)
+    summary = matcher.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    assert summary.pose_found
+    err = summary.estimated_pose - true_pose
+    assert abs(err[0]) <= 1.5 * RES and abs(err[1]) <= 1.5 * RES, err
+    assert abs(P.normalize_angle(err[2])) < 0.02, err
+    assert summary.normalized_score > 0.5
+    assert summary.known_rate > 0.7
+
+
+def test_correlative_matches_oracle_argmax():
+    rng = np.random.default_rng(4)
+    gm, geom = build_map([np.array([0.0, 0.0, 0.0])] * 5, rng=rng)
+    pose = np.array([0.06, -0.04, 0.03])
+    scan = make_scan_arrays(pose, rng=rng)
+    cfg = CorrelativeConfig(
+        range_theta=0.1, n_theta_max=64, crop_rows=320, crop_cols=320
+    )
+    matcher = ScanMatcherCorrelative(cfg)
+    summary = matcher.optimize_pose(ScanMatchingQuery(gm, scan, pose))
+
+    prob_fine = np.asarray(gm.prob, np.float64)
+    coarse = np.asarray(
+        pool.sliding_window_max2d(gm.prob, cfg.low_resolution), np.float64
+    )
+    n = scan.num_valid
+    best_pose, best_score, found, steps, wins = oracle.correlative_search_oracle(
+        prob_fine, coarse, geom,
+        np.asarray(scan.ranges[:n], np.float64),
+        np.asarray(scan.angles[:n], np.float64),
+        pose, cfg.range_x, cfg.range_y, cfg.range_theta, cfg.low_resolution,
+    )
+    assert found and summary.pose_found
+    assert summary.normalized_score == pytest.approx(best_score, abs=5e-3)
+    np.testing.assert_allclose(
+        summary.estimated_pose[:2], best_pose[:2], atol=1.01 * RES
+    )
+    assert abs(P.normalize_angle(summary.estimated_pose[2] - best_pose[2])) < 2 * steps[2]
+
+
+def test_gn_gradient_matches_numeric():
+    rng = np.random.default_rng(5)
+    gm, _ = build_map([np.array([0.0, 0.0, 0.0])] * 5, rng=rng)
+    pose = jnp.asarray([0.02, 0.01, 0.015], jnp.float32)
+    scan = make_scan_arrays(np.array([0.0, 0.0, 0.0]), rng=rng)
+    off = jnp.asarray(gm.offset_xy, jnp.float32)
+
+    def cost_fn(p):
+        return gauss_newton.cost(
+            gm.prob, gm.observed, scan.ranges, scan.angles, scan.mask,
+            p, RES, off,
+        )
+
+    # The analytic residual vector must satisfy b == -0.5 * grad(cost)
+    # (cost = sum r^2, grad = -2 J^T r): this checks the hand-derived
+    # Jacobian (cost_function_square_error.cpp:79-128) against autodiff
+    # exactly, without the nonsmoothness issues of finite differences on a
+    # piecewise-bilinear map.
+    g_auto = np.asarray(jax.grad(cost_fn)(pose))
+    _, b, _ = gauss_newton.hessian_and_residual(
+        gm.prob, gm.observed, scan.ranges, scan.angles, scan.mask,
+        pose, RES, off,
+    )
+    np.testing.assert_allclose(np.asarray(b), -0.5 * g_auto, rtol=1e-4, atol=1e-3)
+
+
+def test_linear_solver_refines():
+    # Noise-free map from the same pose family so the cost minimum sits at
+    # the true pose up to cell quantization.
+    gm, _ = build_map([np.array([0.0, 0.0, 0.0])] * 10, rng=None)
+    true_pose = np.array([0.03, 0.02, 0.01])
+    scan = make_scan_arrays(true_pose)
+    init = true_pose + np.array([0.02, -0.02, 0.01])
+    matcher = ScanMatcherLinearSolver(LinearSolverConfig())
+    s = matcher.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    err0 = np.linalg.norm(init[:2] - true_pose[:2])
+    err1 = np.linalg.norm(s.estimated_pose[:2] - true_pose[:2])
+    assert err1 < err0 + 0.03  # within cell quantization of the optimum
+    assert np.all(np.isfinite(s.covariance))
+    # covariance should be symmetric positive definite-ish
+    assert np.allclose(s.covariance, s.covariance.T, atol=1e-3)
