@@ -1,0 +1,408 @@
+"""Grid map builder: local-map lifecycle + latest-map maintenance.
+
+Host-orchestration equivalent of ``GridMapBuilder``
+(``src/my_lidar_graph_slam/mapping/grid_map_builder.cpp``):
+
+* ``append_scan`` = ``UpdatePoseGraph`` (new scan node + odometry edge,
+  new local map every ``travel_dist_threshold`` metres of travel, seeded
+  with the last ``num_overlapped_scans`` scans) + ``UpdateGridMap``
+  (integrate the newest scan into the current local map), lines 119-494.
+* ``update_latest_map`` rebuilds the rolling matching map from the last
+  ``num_scans_for_latest_map`` scans (lines 497-532).
+* ``construct_map_from_scans`` (lines 561-695) builds any map from a node
+  range; used for local-map seeding, the latest map and the global map.
+
+TPU-native differences: local maps are fixed-shape device rasters (f32
+log-odds + observed mask, see ops/rasterize.py) anchored at the local map
+origin, instead of dynamically growing block grids — a local map's extent
+is travel-bounded (2.5 m travel + max usable range), so a pre-sized raster
+always fits (SURVEY.md section 7, hard part 3).  The global map raster is
+sized on demand from the scan bounding box.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import pose as P
+from ..graph.pose_graph import (
+    CONSTRAINT_ODOMETRY,
+    EDGE_INTER,
+    EDGE_INTRA,
+    LocalMapNode,
+    PoseGraph,
+    PoseGraphEdge,
+    ScanNode,
+)
+from ..matching.types import MapRaster
+from ..ops import rasterize
+from ..sensor.data import ScanData
+from . import values as gv
+
+
+@dataclass(frozen=True)
+class GridMapBuilderConfig:
+    resolution: float = 0.05
+    local_map_rows: int = 1024
+    local_map_cols: int = 1024
+    latest_map_rows: int = 1024
+    latest_map_cols: int = 1024
+    num_scans_for_latest_map: int = 10
+    travel_dist_threshold: float = 2.5
+    num_overlapped_scans: int = 10
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    probability_hit: float = 0.62
+    probability_miss: float = 0.46
+    beam_capacity: int = 512
+    samples_per_beam: int = 768
+
+    @property
+    def logodds_hit(self) -> float:
+        return float(np.log(self.probability_hit / (1 - self.probability_hit)))
+
+    @property
+    def logodds_miss(self) -> float:
+        return float(np.log(self.probability_miss / (1 - self.probability_miss)))
+
+
+@dataclass
+class LocalMap:
+    local_map_id: int
+    logodds: object  # [H, W] f32 device
+    observed: object  # [H, W] bool device
+    offset_xy: np.ndarray  # (2,) raster offset in the local map frame
+    scan_node_id_min: int
+    scan_node_id_max: int
+    finished: bool = False
+    # cached coarse maps for loop detection, keyed by window size
+    coarse_cache: dict = field(default_factory=dict)
+
+    def raster(self, resolution: float) -> MapRaster:
+        return MapRaster(
+            rasterize.prob_map(self.logodds, self.observed),
+            self.observed,
+            resolution,
+            self.offset_xy,
+            coarse=self.coarse_cache,
+        )
+
+
+def pad_scan(scan: ScanData, capacity: int, usable_min: float, usable_max: float):
+    """Padded (ranges, angles, mask) with the usable-range integration
+    filter applied to the mask; uniform subsample if over capacity
+    (the FPGA matcher does the same at 512 beams,
+    ``scan_matcher_correlative_fpga.cpp:530-587``)."""
+    min_range = max(usable_min, scan.min_range)
+    max_range = min(usable_max, scan.max_range)
+    ranges, angles = scan.ranges, scan.angles
+    n = len(ranges)
+    if n > capacity:
+        idx = np.linspace(0, n - 1, capacity).astype(int)
+        ranges, angles = ranges[idx], angles[idx]
+        n = capacity
+    valid = (ranges > min_range) & (ranges < max_range)
+    r = np.zeros(capacity, np.float32)
+    a = np.zeros(capacity, np.float32)
+    m = np.zeros(capacity, bool)
+    r[:n] = ranges
+    a[:n] = angles
+    m[:n] = valid
+    return r, a, m
+
+
+class GridMapBuilder:
+    def __init__(self, cfg: GridMapBuilderConfig):
+        self.cfg = cfg
+        self.local_maps: List[LocalMap] = []
+        self.accum_travel_dist = 0.0
+        self.travel_dist_last_local_map = 0.0
+        # Latest (rolling) map state
+        self.latest_logodds = None
+        self.latest_observed = None
+        self.latest_offset = None
+        self.latest_map_pose = np.zeros(3)
+        self.latest_scan_id_min = 0
+        self.latest_scan_id_max = 0
+
+    # ------------------------------------------------------------------
+    def latest_local_map(self) -> LocalMap:
+        return self.local_maps[-1]
+
+    def local_map_at(self, local_map_id: int) -> LocalMap:
+        return self.local_maps[local_map_id]
+
+    # ------------------------------------------------------------------
+    def append_scan(
+        self,
+        pose_graph: PoseGraph,
+        relative_scan_pose: np.ndarray,
+        scan_pose_covariance: np.ndarray,
+        scan_data: ScanData,
+    ) -> bool:
+        inserted = self._update_pose_graph(
+            pose_graph, relative_scan_pose, scan_pose_covariance, scan_data
+        )
+        self._update_grid_map(pose_graph)
+        return inserted
+
+    # ------------------------------------------------------------------
+    def _new_raster(self, rows, cols):
+        lo = jnp.zeros((rows, cols), jnp.float32)
+        obs = jnp.zeros((rows, cols), bool)
+        offset = np.array(
+            [-self.cfg.resolution * (cols // 2), -self.cfg.resolution * (rows // 2)]
+        )
+        return lo, obs, offset
+
+    def _integrate(
+        self, lo, obs, offset_xy, map_pose, scan_entries
+    ):
+        """Integrate scans (list of (global_node_pose, scan_data)) into a
+        raster anchored at ``map_pose``."""
+        cfg = self.cfg
+        sensors, hits, masks = [], [], []
+        for node_pose, scan in scan_entries:
+            g_sensor = P.compound(node_pose, scan.relative_sensor_pose)
+            l_sensor = P.inverse_compound(map_pose, g_sensor)
+            r, a, m = pad_scan(
+                scan, cfg.beam_capacity, cfg.usable_range_min, cfg.usable_range_max
+            )
+            ang = l_sensor[2] + a
+            hx = l_sensor[0] + r * np.cos(ang)
+            hy = l_sensor[1] + r * np.sin(ang)
+            sensors.append(l_sensor[:2])
+            hits.append(np.stack([hx, hy], -1))
+            masks.append(m)
+        lo, obs = rasterize.integrate_scans(
+            lo,
+            obs,
+            jnp.asarray(np.array(sensors), jnp.float32),
+            jnp.asarray(np.array(hits), jnp.float32),
+            jnp.asarray(np.array(masks)),
+            cfg.resolution,
+            jnp.asarray(offset_xy, jnp.float32),
+            cfg.logodds_hit,
+            cfg.logodds_miss,
+            num_samples=cfg.samples_per_beam,
+        )
+        return lo, obs
+
+    # ------------------------------------------------------------------
+    def _append_local_map(
+        self, pose_graph: PoseGraph, scan_pose, scan_pose_cov, scan_node_id
+    ):
+        """``GridMapBuilder::AppendLocalMap`` (grid_map_builder.cpp:187-286)."""
+        cfg = self.cfg
+        # Finish the current local map
+        if self.local_maps:
+            lm = self.latest_local_map()
+            lm.finished = True
+            pose_graph.local_map_nodes[lm.local_map_id].finished = True
+
+        local_map_id = len(self.local_maps)
+        local_map_pose = np.asarray(scan_pose, np.float64)
+
+        if self.local_maps:
+            old_node = pose_graph.local_map_nodes[-1]
+            map_local_scan_pose = P.normalize_pose(
+                P.inverse_compound(old_node.global_pose, scan_pose)
+            )
+            local_cov = P.covariance_world_to_local(
+                old_node.global_pose, scan_pose_cov
+            )
+            pose_graph.edges.append(
+                PoseGraphEdge(
+                    old_node.local_map_id,
+                    scan_node_id,
+                    EDGE_INTER,
+                    CONSTRAINT_ODOMETRY,
+                    map_local_scan_pose,
+                    np.linalg.inv(local_cov),
+                )
+            )
+
+        pose_graph.local_map_nodes.append(
+            LocalMapNode(local_map_id, local_map_pose.copy())
+        )
+
+        lo, obs, offset = self._new_raster(cfg.local_map_rows, cfg.local_map_cols)
+        if self.local_maps:
+            # Seed with the most recent scans (grid_map_builder.cpp:252-276)
+            last_max = self.latest_local_map().scan_node_id_max
+            n_seed = min(len(pose_graph.scan_nodes), cfg.num_overlapped_scans)
+            first = max(0, last_max - (n_seed - 1))
+            entries = [
+                (pose_graph.scan_nodes[i].global_pose, pose_graph.scan_nodes[i].scan_data)
+                for i in range(first, last_max + 1)
+            ]
+            lo, obs = self._integrate(lo, obs, offset, local_map_pose, entries)
+
+        self.local_maps.append(
+            LocalMap(
+                local_map_id,
+                lo,
+                obs,
+                offset,
+                scan_node_id_min=scan_node_id,
+                scan_node_id_max=scan_node_id,
+            )
+        )
+        self.travel_dist_last_local_map = 0.0
+
+    # ------------------------------------------------------------------
+    def _update_pose_graph(
+        self, pose_graph, relative_scan_pose, scan_pose_cov, scan_data
+    ) -> bool:
+        """``GridMapBuilder::UpdatePoseGraph`` (grid_map_builder.cpp:289-388)."""
+        scan_node_id = len(pose_graph.scan_nodes)
+        prev_pose = (
+            pose_graph.scan_nodes[-1].global_pose
+            if pose_graph.scan_nodes
+            else np.zeros(3)
+        )
+        scan_pose = P.compound(prev_pose, relative_scan_pose)
+
+        d = float(P.distance(relative_scan_pose))
+        self.accum_travel_dist += d
+        self.travel_dist_last_local_map += d
+
+        inserted = (
+            not self.local_maps
+            or self.travel_dist_last_local_map >= self.cfg.travel_dist_threshold
+            or self.latest_local_map().finished
+        )
+        if inserted:
+            self._append_local_map(pose_graph, scan_pose, scan_pose_cov, scan_node_id)
+
+        lm = self.latest_local_map()
+        lm_node = pose_graph.local_map_nodes[-1]
+        map_local_scan_pose = P.normalize_pose(
+            P.inverse_compound(lm_node.global_pose, scan_pose)
+        )
+        pose_graph.scan_nodes.append(
+            ScanNode(
+                scan_node_id,
+                lm.local_map_id,
+                map_local_scan_pose,
+                np.asarray(scan_pose, np.float64),
+                scan_data,
+            )
+        )
+        local_cov = P.covariance_world_to_local(lm_node.global_pose, scan_pose_cov)
+        pose_graph.edges.append(
+            PoseGraphEdge(
+                lm_node.local_map_id,
+                scan_node_id,
+                EDGE_INTRA,
+                CONSTRAINT_ODOMETRY,
+                map_local_scan_pose,
+                np.linalg.inv(local_cov),
+            )
+        )
+        return inserted
+
+    # ------------------------------------------------------------------
+    def _update_grid_map(self, pose_graph: PoseGraph):
+        """Integrate the newest scan into the current local map
+        (``GridMapBuilder::UpdateGridMap``, grid_map_builder.cpp:390-494)."""
+        lm = self.latest_local_map()
+        lm_node = pose_graph.local_map_nodes[-1]
+        node = pose_graph.scan_nodes[-1]
+        lm.logodds, lm.observed = self._integrate(
+            lm.logodds,
+            lm.observed,
+            lm.offset_xy,
+            lm_node.global_pose,
+            [(node.global_pose, node.scan_data)],
+        )
+        lm.scan_node_id_max = node.node_id
+        lm.coarse_cache.clear()
+
+    # ------------------------------------------------------------------
+    def update_latest_map(self, pose_graph: PoseGraph):
+        """Rebuild the rolling matching map from the last N scans
+        (``GridMapBuilder::UpdateLatestMap``, grid_map_builder.cpp:497-532)."""
+        cfg = self.cfg
+        nodes = pose_graph.scan_nodes
+        n = min(len(nodes), cfg.num_scans_for_latest_map)
+        first = len(nodes) - n
+        self.latest_scan_id_min = nodes[first].node_id
+        self.latest_scan_id_max = nodes[-1].node_id
+        self.latest_map_pose = nodes[first].global_pose.copy()
+        lo, obs, offset = self._new_raster(cfg.latest_map_rows, cfg.latest_map_cols)
+        entries = [(nd.global_pose, nd.scan_data) for nd in nodes[first:]]
+        self.latest_logodds, self.latest_observed = self._integrate(
+            lo, obs, offset, self.latest_map_pose, entries
+        )
+        self.latest_offset = offset
+
+    def latest_raster(self) -> MapRaster:
+        return MapRaster(
+            rasterize.prob_map(self.latest_logodds, self.latest_observed),
+            self.latest_observed,
+            self.cfg.resolution,
+            self.latest_offset,
+        )
+
+    # ------------------------------------------------------------------
+    def after_loop_closure(self, pose_graph: PoseGraph):
+        """Recompute the accumulated travel distance from the optimized
+        poses (``GridMapBuilder::UpdateAccumTravelDist``,
+        grid_map_builder.cpp:535-558). Local map rasters are NOT rebuilt."""
+        nodes = pose_graph.scan_nodes
+        if len(nodes) < 2:
+            self.accum_travel_dist = 0.0
+            return
+        poses = pose_graph.scan_poses()
+        self.accum_travel_dist = float(
+            np.sum(np.hypot(np.diff(poses[:, 0]), np.diff(poses[:, 1])))
+        )
+
+    # ------------------------------------------------------------------
+    def construct_map_from_scans(
+        self, map_pose, entries, rows=None, cols=None, margin_cells=8
+    ):
+        """Build a map raster covering all given scans; raster size derived
+        from the hit-point bounding box unless given.  Returns MapRaster."""
+        cfg = self.cfg
+        pts = []
+        for node_pose, scan in entries:
+            g_sensor = P.compound(node_pose, scan.relative_sensor_pose)
+            l_sensor = P.inverse_compound(map_pose, g_sensor)
+            r, a, m = pad_scan(
+                scan, cfg.beam_capacity, cfg.usable_range_min, cfg.usable_range_max
+            )
+            ang = l_sensor[2] + a[m]
+            pts.append(
+                np.stack(
+                    [l_sensor[0] + r[m] * np.cos(ang), l_sensor[1] + r[m] * np.sin(ang)],
+                    -1,
+                )
+            )
+            pts.append(l_sensor[None, :2])
+        allpts = np.concatenate(pts, axis=0)
+        lo_xy = allpts.min(0) - margin_cells * cfg.resolution
+        hi_xy = allpts.max(0) + margin_cells * cfg.resolution
+        if rows is None:
+            cols = int(math.ceil((hi_xy[0] - lo_xy[0]) / cfg.resolution / 128.0)) * 128
+            rows = int(math.ceil((hi_xy[1] - lo_xy[1]) / cfg.resolution / 128.0)) * 128
+        lo = jnp.zeros((rows, cols), jnp.float32)
+        obs = jnp.zeros((rows, cols), bool)
+        offset = np.asarray(lo_xy, np.float64)
+        lo, obs = self._integrate(lo, obs, offset, map_pose, entries)
+        return MapRaster(
+            rasterize.prob_map(lo, obs), obs, cfg.resolution, offset
+        )
+
+    def construct_global_map(self, pose_graph: PoseGraph):
+        """Global map anchored at the first scan node's pose
+        (``ConstructGlobalMap``, grid_map_builder.cpp:161-185)."""
+        nodes = pose_graph.scan_nodes
+        map_pose = nodes[0].global_pose
+        entries = [(nd.global_pose, nd.scan_data) for nd in nodes]
+        return map_pose, self.construct_map_from_scans(map_pose, entries)

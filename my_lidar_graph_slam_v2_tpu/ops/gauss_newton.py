@@ -134,9 +134,17 @@ def gn_refine(
     convergence_threshold=1e-4,
     initial_lambda=1e-4,
 ):
-    """Iterative damped Gauss-Newton refinement; mirrors
-    ``ScanMatcherLinearSolver::OptimizePose`` including the lambda
-    halve/double schedule and the |prev - cost| convergence test.
+    """Iterative damped Gauss-Newton (Levenberg-Marquardt) refinement.
+
+    Follows ``ScanMatcherLinearSolver::OptimizePose``
+    (``scan_matcher_linear_solver.cpp:66-167``) with one deliberate
+    robustness upgrade: steps that *increase* the cost are rejected (pose
+    reverted, lambda increased) instead of accepted, and lambda may grow
+    beyond the reference's 1e-4 cap.  The reference's variant accepts every
+    step, which diverges when the 3x3 system is ill-conditioned (e.g. a
+    thin-walled single-scan map lets one huge step carry all beams into
+    unknown space).  For converging runs the two are identical; ours has
+    the same fixed points but cannot diverge.
 
     Returns (pose, cost, n_iterations)."""
 
@@ -152,32 +160,34 @@ def gn_refine(
         return p + dp
 
     def cond(state):
-        p, prev_cost, cur_cost, lam, it, done = state
+        p, cur_cost, lam, it, done = state
         return jnp.logical_not(done)
 
     def body(state):
-        p, prev_cost, cur_cost, lam, it, done = state
+        p, cur_cost, lam, it, done = state
         p_new = step(p, lam)
         c_new = cost_at(p_new)
+        accept = c_new < cur_cost
         it_new = it + 1
         stop = (it_new >= max_iterations) | (
-            jnp.abs(prev_cost - c_new) < convergence_threshold
+            accept & (jnp.abs(cur_cost - c_new) < convergence_threshold)
         )
+        p_next = jnp.where(accept, p_new, p)
+        c_next = jnp.where(accept, c_new, cur_cost)
         lam_new = jnp.where(
-            c_new < prev_cost,
+            accept,
             jnp.maximum(1e-8, lam * 0.5),
-            jnp.minimum(1e-4, lam * 2.0),
+            jnp.minimum(1e6, lam * 4.0),
         )
-        return (p_new, c_new, c_new, lam_new, it_new, stop)
+        return (p_next, c_next, lam_new, it_new, stop)
 
     init_cost = cost_at(sensor_pose0)
     state = (
         sensor_pose0,
         init_cost,
-        init_cost,
         jnp.float32(initial_lambda),
         jnp.int32(0),
         jnp.bool_(False),
     )
-    p, _, final_cost, _, iters, _ = jax.lax.while_loop(cond, body, state)
+    p, final_cost, _, iters, _ = jax.lax.while_loop(cond, body, state)
     return p, final_cost, iters

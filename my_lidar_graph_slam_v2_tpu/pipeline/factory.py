@@ -1,0 +1,89 @@
+"""Module factory: build a SLAM system from a config mapping.
+
+Mirrors the reference's string-typed factory layer
+(``src/my_lidar_graph_slam/slam_module_factory.cpp`` and the per-module
+``*_factory.cpp`` files): module types are selected by name so configs
+stay JSON-compatible with the reference's settings files
+(``launcher_settings_default.json``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from ..grid.builder import GridMapBuilder, GridMapBuilderConfig
+from ..matching.correlative import CorrelativeConfig, ScanMatcherCorrelative
+from ..matching.linear_solver import LinearSolverConfig, ScanMatcherLinearSolver
+from ..metrics.registry import MetricManager
+from ..sensor.filters import ScanAccumulator, ScanInterpolator, ScanOutlierFilter
+from .frontend import FrontendConfig, LidarGraphSlamFrontend
+from .slam import LidarGraphSlam
+
+SCAN_MATCHERS = {}
+FINAL_SCAN_MATCHERS = {}
+
+
+def create_scan_matcher(type_name: str, **kw):
+    if type_name == "RealTimeCorrelative":
+        return ScanMatcherCorrelative(CorrelativeConfig(**kw))
+    if type_name == "LinearSolver":
+        return ScanMatcherLinearSolver(LinearSolverConfig(**kw))
+    from .factory_extra import create_extra_matcher  # late import, optional
+
+    return create_extra_matcher(type_name, **kw)
+
+
+def create_default_slam(
+    *,
+    resolution: float = 0.05,
+    map_rows: int = 1024,
+    map_cols: int = 1024,
+    beam_capacity: int = 512,
+    samples_per_beam: int = 768,
+    usable_range_max: float = 20.0,
+    n_theta_max: int = 208,
+    crop: int = 384,
+    backend=None,
+    frontend_overrides: Optional[dict] = None,
+    builder_overrides: Optional[dict] = None,
+    matcher_overrides: Optional[dict] = None,
+) -> LidarGraphSlam:
+    """The reference's default configuration: real-time correlative local
+    matcher + linear-solver final matcher, outlier filter + interpolator."""
+    builder_cfg = GridMapBuilderConfig(
+        resolution=resolution,
+        local_map_rows=map_rows,
+        local_map_cols=map_cols,
+        latest_map_rows=map_rows,
+        latest_map_cols=map_cols,
+        beam_capacity=beam_capacity,
+        samples_per_beam=samples_per_beam,
+        usable_range_max=usable_range_max,
+        **(builder_overrides or {}),
+    )
+    matcher_cfg = dict(
+        resolution=resolution,
+        n_theta_max=n_theta_max,
+        crop_rows=crop,
+        crop_cols=crop,
+        **(matcher_overrides or {}),
+    )
+    scan_matcher = ScanMatcherCorrelative(CorrelativeConfig(**matcher_cfg))
+    final_matcher = ScanMatcherLinearSolver(
+        LinearSolverConfig(resolution=resolution)
+    )
+    fe_cfg = FrontendConfig(
+        beam_capacity=beam_capacity,
+        usable_range_max=usable_range_max,
+        **(frontend_overrides or {}),
+    )
+    frontend = LidarGraphSlamFrontend(
+        fe_cfg,
+        scan_matcher,
+        final_matcher,
+        outlier_filter=ScanOutlierFilter(valid_range_max=usable_range_max),
+        interpolator=ScanInterpolator(dist_scans=resolution),
+        accumulator=ScanAccumulator() if fe_cfg.use_scan_accumulator else None,
+        metrics=MetricManager.instance(),
+    )
+    builder = GridMapBuilder(builder_cfg)
+    return LidarGraphSlam(frontend, backend, builder)

@@ -1,0 +1,270 @@
+"""LidarGraphSlam facade: shared state + snapshot/mutator API.
+
+Mirrors ``mapping/lidar_graph_slam.{hpp,cpp}``: owns the pose graph and the
+grid map builder, provides the mutators used by the frontend
+(``append_first_node_and_edge`` / ``append_node_and_edge``), the snapshot
+getters used by the backend (``get_pose_graph_for_optimization``,
+``get_loop_search_hint``, ``get_loop_detection_queries``) and the
+loop-closure write-back (``after_loop_closure``) with odometry-edge
+propagation of the un-optimized suffix (lidar_graph_slam.cpp:508-654).
+
+Threading: the reference runs the backend on a worker thread behind one
+mutex + two condition variables.  Here the backend step runs either
+inline (deterministic mode, default) or on a worker thread; state mutation
+uses the same single-lock discipline.
+"""
+from __future__ import annotations
+
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from ..core import pose as P
+from ..graph.pose_graph import (
+    CONSTRAINT_LOOP,
+    EDGE_INTER,
+    PoseGraph,
+    PoseGraphEdge,
+)
+from ..grid.builder import GridMapBuilder
+from ..sensor.data import ScanData
+
+
+class LidarGraphSlam:
+    def __init__(self, frontend, backend, builder: GridMapBuilder):
+        self.frontend = frontend
+        self.backend = backend
+        self.builder = builder
+        self.pose_graph = PoseGraph()
+        self._lock = threading.RLock()
+        self._backend_thread: Optional[threading.Thread] = None
+        self._backend_notify = threading.Event()
+        self._backend_stop = threading.Event()
+        self.inline_backend = backend is not None and getattr(
+            backend, "inline", True
+        )
+
+    # ---- frontend entry ----------------------------------------------
+    def process_scan(self, scan: ScanData, odom_pose: np.ndarray) -> bool:
+        return self.frontend.process_scan(self, scan, odom_pose)
+
+    @property
+    def process_count(self) -> int:
+        return self.frontend.process_count
+
+    # ---- mutators (frontend side) ------------------------------------
+    def append_first_node_and_edge(self, initial_pose, scan_data) -> bool:
+        with self._lock:
+            cov = np.diag([1e-9, 1e-9, 1e-9])
+            return self.builder.append_scan(
+                self.pose_graph, initial_pose, cov, scan_data
+            )
+
+    def append_node_and_edge(self, relative_pose, covariance, scan_data) -> bool:
+        with self._lock:
+            return self.builder.append_scan(
+                self.pose_graph, relative_pose, covariance, scan_data
+            )
+
+    def get_latest_data(self):
+        """Rebuild + return the latest rolling map and poses
+        (``GetLatestData``, lidar_graph_slam.cpp:224-270)."""
+        with self._lock:
+            self.builder.update_latest_map(self.pose_graph)
+            latest_scan_pose = self.pose_graph.scan_nodes[-1].global_pose.copy()
+            latest_map_pose = self.builder.latest_map_pose.copy()
+            latest_map = self.builder.latest_raster()
+            return latest_scan_pose, latest_map, latest_map_pose
+
+    def accum_travel_dist(self) -> float:
+        with self._lock:
+            return self.builder.accum_travel_dist
+
+    # ---- backend notification ----------------------------------------
+    def notify_backend(self):
+        if self.backend is None:
+            return
+        if self.inline_backend:
+            self.backend.run_step(self)
+        else:
+            self._backend_notify.set()
+
+    def wait_for_optimization(self):
+        # Inline mode: optimization completes synchronously; nothing to do.
+        pass
+
+    def start_backend(self):
+        if self.backend is None or self.inline_backend:
+            return
+
+        def worker():
+            while not self._backend_stop.is_set():
+                if self._backend_notify.wait(timeout=0.05):
+                    self._backend_notify.clear()
+                    self.backend.run_step(self)
+
+        self._backend_thread = threading.Thread(target=worker, daemon=True)
+        self._backend_thread.start()
+
+    def stop_backend(self):
+        with self._lock:
+            if self.builder.local_maps:
+                lm = self.builder.latest_local_map()
+                lm.finished = True
+                self.pose_graph.local_map_nodes[lm.local_map_id].finished = True
+        if self.backend is not None:
+            if self.inline_backend:
+                self.backend.run_step(self)
+            else:
+                self._backend_stop.set()
+                if self._backend_thread is not None:
+                    self._backend_thread.join()
+                self.backend.run_step(self)
+
+    # ---- snapshots for the backend -----------------------------------
+    def get_pose_graph_for_optimization(self):
+        """Snapshot cut at the first unfinished local map
+        (``GetPoseGraphForOptimization``, lidar_graph_slam.cpp:107-192):
+        returns (num_map_nodes, num_scan_nodes, map_poses, scan_poses,
+        edge arrays)."""
+        with self._lock:
+            n_maps = 0
+            for n in self.pose_graph.local_map_nodes:
+                if not n.finished:
+                    break
+                n_maps += 1
+            if n_maps == 0:
+                return None
+            n_scans = self.builder.local_maps[n_maps - 1].scan_node_id_max + 1
+            map_poses = self.pose_graph.local_map_poses()[:n_maps].copy()
+            scan_poses = self.pose_graph.scan_poses()[:n_scans].copy()
+            edges = self.pose_graph.edge_arrays(n_maps, n_scans)
+            return n_maps, n_scans, map_poses, scan_poses, edges
+
+    def get_loop_search_hint(self):
+        """Snapshot used by the loop searcher (``GetLoopSearchHint``,
+        lidar_graph_slam.cpp:273-381)."""
+        with self._lock:
+            finished = [lm for lm in self.builder.local_maps if lm.finished]
+            if not finished:
+                return None
+            scan_poses = self.pose_graph.scan_poses()
+            map_ranges = [
+                (lm.local_map_id, lm.scan_node_id_min, lm.scan_node_id_max)
+                for lm in finished
+            ]
+            return dict(
+                scan_poses=scan_poses,
+                map_ranges=map_ranges,
+                accum_travel_dist=self.builder.accum_travel_dist,
+                last_finished_map_id=finished[-1].local_map_id,
+            )
+
+    def get_loop_detection_queries(self, candidates):
+        """Resolve candidate ids to (query scan node, reference local map,
+        reference node) handles (``GetLoopDetectionQueries``,
+        lidar_graph_slam.cpp:384-414)."""
+        with self._lock:
+            out = []
+            for cand in candidates:
+                query_node = self.pose_graph.scan_nodes[cand["query_node_id"]]
+                ref_node = self.pose_graph.scan_nodes[cand["ref_node_id"]]
+                local_map = self.builder.local_map_at(cand["ref_map_id"])
+                map_node = self.pose_graph.local_map_nodes[cand["ref_map_id"]]
+                out.append(
+                    dict(
+                        query_node=query_node,
+                        ref_node=ref_node,
+                        local_map=local_map,
+                        local_map_node=map_node,
+                    )
+                )
+            return out
+
+    # ---- loop-closure write-back -------------------------------------
+    def append_loop_closing_edges(self, results):
+        """``AppendLoopClosingEdges`` (lidar_graph_slam.cpp:455-505)."""
+        with self._lock:
+            for res in results:
+                rel = P.normalize_pose(res["relative_pose"])
+                info = np.linalg.inv(res["covariance"])
+                self.pose_graph.edges.append(
+                    PoseGraphEdge(
+                        res["local_map_id"],
+                        res["scan_node_id"],
+                        EDGE_INTER,
+                        CONSTRAINT_LOOP,
+                        rel,
+                        info,
+                    )
+                )
+
+    def after_loop_closure(self, n_maps, n_scans, map_poses, scan_poses):
+        """Write back optimized poses, then re-derive the un-optimized
+        suffix through odometry edges (``AfterLoopClosure``,
+        lidar_graph_slam.cpp:508-654)."""
+        with self._lock:
+            pg = self.pose_graph
+            for i in range(n_maps):
+                pg.local_map_nodes[i].global_pose = map_poses[i].copy()
+            for i in range(n_scans):
+                pg.scan_nodes[i].global_pose = scan_poses[i].copy()
+
+            last_map_id = n_maps - 1
+            last_node_id = n_scans - 1
+
+            # First odometry edge beyond the optimized prefix
+            processed_map = last_map_id
+            processed_node = last_node_id
+            start_idx = None
+            for idx, e in enumerate(pg.edges):
+                if (
+                    e.local_map_node_id == last_map_id
+                    and e.scan_node_id > last_node_id
+                ):
+                    start_idx = idx
+                    break
+            if start_idx is None:
+                self.builder.after_loop_closure(pg)
+                return
+
+            for e in pg.edges[start_idx:]:
+                if not e.is_odometry:
+                    continue
+                update_scan = (
+                    e.local_map_node_id == processed_map
+                    and e.scan_node_id > processed_node
+                )
+                update_map = (
+                    e.local_map_node_id > processed_map
+                    and e.scan_node_id == processed_node
+                )
+                if update_scan:
+                    start_pose = pg.local_map_nodes[e.local_map_node_id].global_pose
+                    pg.scan_nodes[e.scan_node_id].global_pose = P.compound(
+                        start_pose, e.relative_pose
+                    )
+                elif update_map:
+                    end_pose = pg.scan_nodes[e.scan_node_id].global_pose
+                    pg.local_map_nodes[e.local_map_node_id].global_pose = (
+                        P.move_backward(end_pose, e.relative_pose)
+                    )
+                processed_map = e.local_map_node_id
+                processed_node = e.scan_node_id
+
+            self.builder.after_loop_closure(pg)
+
+    # ---- end-of-run getters ------------------------------------------
+    def get_global_map(self):
+        with self._lock:
+            return self.builder.construct_global_map(self.pose_graph)
+
+    def get_latest_map(self):
+        with self._lock:
+            self.builder.update_latest_map(self.pose_graph)
+            return self.builder.latest_map_pose.copy(), self.builder.latest_raster()
+
+    def get_trajectory(self) -> np.ndarray:
+        with self._lock:
+            return self.pose_graph.scan_poses()
