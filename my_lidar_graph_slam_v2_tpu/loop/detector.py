@@ -1,0 +1,104 @@
+"""Loop detectors.
+
+Equivalents of the reference's detector family
+(``mapping/loop_detector_correlative.cpp``, ``loop_detector_empty.cpp``,
+plus the multi-accelerator ``loop_detector_fpga_parallel.cpp`` whose
+device fan-out lives in ``parallel/loop_sharded.py``): for each candidate,
+match the query scan against the (finished) reference local map over a
+wide window with score/known-rate gates, refine with the final matcher,
+and emit a loop edge (map-local relative pose + covariance).
+
+The reference caches per-local-map coarse maps (``mPrecompMaps``); here the
+coarse rasters are cached on the LocalMap itself (device-resident HBM
+arrays — the TPU analogue of the FPGA's BRAM map cache keyed by
+LocalMapId, ``scan_matcher_correlative_fpga.cpp:254-270``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from ..core import pose as P
+from ..grid.builder import pad_scan
+from ..matching.types import ScanArrays, ScanMatchingQuery
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class LoopDetectorConfig:
+    score_threshold: float = 0.55
+    known_rate_threshold: float = 0.6
+    beam_capacity: int = 512
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+
+
+def scan_to_arrays(scan, capacity: int) -> ScanArrays:
+    """Padded matching arrays: all (possibly subsampled) beams valid."""
+    r, a, _ = pad_scan(scan, capacity, 0.0, np.inf)
+    n = min(scan.num_scans, capacity)
+    m = np.zeros(capacity, bool)
+    m[:n] = True
+    return ScanArrays(
+        jnp.asarray(r),
+        jnp.asarray(a),
+        jnp.asarray(m),
+        rel_sensor_pose=np.asarray(scan.relative_sensor_pose, np.float64),
+        num_valid=n,
+    )
+
+
+class LoopDetectorEmpty:
+    """No-op detector (odometry-only mode) — ``loop_detector_empty.cpp``."""
+
+    def detect(self, queries) -> List[dict]:
+        return []
+
+
+class LoopDetectorCorrelative:
+    """``LoopDetectorCorrelative::Detect``
+    (``loop_detector_correlative.cpp:59-156``)."""
+
+    def __init__(self, cfg: LoopDetectorConfig, scan_matcher, final_scan_matcher,
+                 resolution: float = 0.05):
+        self.cfg = cfg
+        self.scan_matcher = scan_matcher
+        self.final_scan_matcher = final_scan_matcher
+        self.resolution = resolution
+
+    def detect(self, queries) -> List[dict]:
+        results = []
+        for q in queries:
+            scan_node = q["query_node"]
+            local_map = q["local_map"]
+            map_node = q["local_map_node"]
+            assert local_map.finished, "loop detection against unfinished map"
+
+            raster = local_map.raster(self.resolution)
+            map_local_pose = P.inverse_compound(
+                map_node.global_pose, scan_node.global_pose
+            )
+            arrays = scan_to_arrays(scan_node.scan_data, self.cfg.beam_capacity)
+            summary = self.scan_matcher.optimize_pose(
+                ScanMatchingQuery(raster, arrays, map_local_pose),
+                score_threshold=self.cfg.score_threshold,
+                known_rate_threshold=self.cfg.known_rate_threshold,
+            )
+            if not summary.pose_found:
+                continue
+            final = self.final_scan_matcher.optimize_pose(
+                ScanMatchingQuery(raster, arrays, summary.estimated_pose)
+            )
+            results.append(
+                dict(
+                    relative_pose=final.estimated_pose,
+                    local_map_id=local_map.local_map_id,
+                    scan_node_id=scan_node.node_id,
+                    covariance=final.covariance,
+                    score=summary.normalized_score,
+                )
+            )
+        return results

@@ -32,6 +32,57 @@ def create_scan_matcher(type_name: str, **kw):
     return create_extra_matcher(type_name, **kw)
 
 
+def create_default_backend(
+    *,
+    resolution: float = 0.05,
+    beam_capacity: int = 512,
+    usable_range_max: float = 20.0,
+    n_theta_max: int = 208,
+    crop: int = 448,
+    score_threshold: float = 0.55,
+    known_rate_threshold: float = 0.6,
+    searcher_overrides: Optional[dict] = None,
+    optimizer_overrides: Optional[dict] = None,
+    inline: bool = True,
+):
+    """Default backend: nearest searcher + real-time-correlative loop
+    detector (2.5 m x 2.5 m x 0.5 rad window) + LM optimizer, matching
+    ``launcher_settings_default.json`` /Backend."""
+    from ..graph.optimizer import OptimizerConfig, PoseGraphOptimizer
+    from ..loop.detector import LoopDetectorConfig, LoopDetectorCorrelative
+    from ..loop.searcher import LoopSearcherConfig, LoopSearcherNearest
+    from .backend import LidarGraphSlamBackend
+
+    loop_matcher = ScanMatcherCorrelative(
+        CorrelativeConfig(
+            range_x=2.5,
+            range_y=2.5,
+            range_theta=0.5,
+            resolution=resolution,
+            n_theta_max=n_theta_max,
+            crop_rows=crop,
+            crop_cols=crop,
+        )
+    )
+    final_matcher = ScanMatcherLinearSolver(LinearSolverConfig(resolution=resolution))
+    detector = LoopDetectorCorrelative(
+        LoopDetectorConfig(
+            score_threshold=score_threshold,
+            known_rate_threshold=known_rate_threshold,
+            beam_capacity=beam_capacity,
+            usable_range_max=usable_range_max,
+        ),
+        loop_matcher,
+        final_matcher,
+        resolution=resolution,
+    )
+    searcher = LoopSearcherNearest(
+        LoopSearcherConfig(**(searcher_overrides or {}))
+    )
+    optimizer = PoseGraphOptimizer(OptimizerConfig(**(optimizer_overrides or {})))
+    return LidarGraphSlamBackend(searcher, detector, optimizer, inline=inline)
+
+
 def create_default_slam(
     *,
     resolution: float = 0.05,
