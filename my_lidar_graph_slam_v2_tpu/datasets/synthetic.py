@@ -40,11 +40,13 @@ class World:
 
         rect(-h, -h, h, h)  # outer walls
         rect(-h * 0.45, -h * 0.45, h * 0.45, h * 0.45)  # inner block
-        # Wall stubs off the outer wall
+        # The loop trajectory rides a ring with max(|x|, |y|) in roughly
+        # [0.55h, 0.75h]; obstacles must stay clear of that band.
+        # Wall stubs off the outer wall (short, so they never reach the path)
         for _ in range(n_rooms * 2):
             side = rng.integers(0, 4)
             t = rng.uniform(-h * 0.9, h * 0.9)
-            depth = rng.uniform(0.8, 2.2)
+            depth = rng.uniform(0.3, 0.17 * h)
             if side == 0:
                 segs.append((t, -h, t, -h + depth))
             elif side == 1:
@@ -53,13 +55,13 @@ class World:
                 segs.append((-h, t, -h + depth, t))
             else:
                 segs.append((h, t, h - depth, t))
-        # Pillars in the corridor
+        # Pillars hugging the outer wall
         for _ in range(n_rooms * 3):
-            cx = rng.uniform(-h * 0.85, h * 0.85)
-            cy = rng.uniform(-h * 0.85, h * 0.85)
-            r = rng.uniform(0.15, 0.4)
-            if abs(cx) < h * 0.5 and abs(cy) < h * 0.5:
-                continue  # keep the corridor walkable-ish
+            cx = rng.uniform(-h * 0.93, h * 0.93)
+            cy = rng.uniform(-h * 0.93, h * 0.93)
+            r = rng.uniform(0.1, 0.25)
+            if max(abs(cx), abs(cy)) < h * 0.86:
+                continue  # keep the corridor band clear
             rect(cx - r, cy - r, cx + r, cy + r)
         return World(np.asarray(segs, np.float64))
 

@@ -1,0 +1,144 @@
+"""Carmen log reader.
+
+Host-side port of ``src/my_lidar_graph_slam/io/carmen/carmen_reader.cpp``:
+parses PARAM, ODOM, FLASER/RLASER (old format), RAWLASER1-4 and
+ROBOTLASER1-2 (new format) records into the sensor-data stream.  Field
+layouts and defaults (angle increment guesses, Laser.* parameter fallbacks)
+follow the reference (carmen_reader.cpp:160-500).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core import pose as P
+from ..sensor.data import OdometryData, ScanData
+
+_OLD_LASER_IDS = {"FLASER", "RLASER"}
+_RAW_LASER_IDS = {"RAWLASER1", "RAWLASER2", "RAWLASER3", "RAWLASER4"}
+_ROBOT_LASER_IDS = {"ROBOTLASER1", "ROBOTLASER2"}
+
+
+def _guess_angle_range(n: int) -> float:
+    # carmen_reader.cpp:466-487
+    if n == 181:
+        return np.pi
+    if n == 180:
+        return np.pi * 179.0 / 180.0
+    if n == 361:
+        return np.pi
+    if n == 360:
+        return np.pi * 359.0 / 360.0
+    if n == 401:
+        return np.pi * 100.0 / 180.0
+    if n == 400:
+        return np.pi * 99.75 / 180.0
+    return np.pi
+
+
+def _guess_angle_increment(n: int) -> float:
+    return _guess_angle_range(n) / max(n - 1, 1)
+
+
+def read_carmen_log(path: str) -> List[object]:
+    """Returns the time-ordered list of OdometryData / ScanData records."""
+    params: Dict[str, str] = {}
+    out: List[object] = []
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            toks = line.split()
+            tag = toks[0]
+            try:
+                if tag == "PARAM" and len(toks) >= 3:
+                    params[toks[1]] = toks[2]
+                elif tag == "ODOM":
+                    out.append(_parse_odom(tag, toks[1:]))
+                elif tag in _OLD_LASER_IDS:
+                    rec = _parse_old_laser(tag, toks[1:], params)
+                    if rec is not None:
+                        out.append(rec)
+                elif tag in _RAW_LASER_IDS:
+                    rec = _parse_raw_laser(tag, toks[1:], robot=False)
+                    if rec is not None:
+                        out.append(rec)
+                elif tag in _ROBOT_LASER_IDS:
+                    rec = _parse_raw_laser(tag, toks[1:], robot=True)
+                    if rec is not None:
+                        out.append(rec)
+            except (ValueError, IndexError):
+                continue  # malformed line: skip, like the reference's
+                # best-effort stream extraction
+    return out
+
+
+def _parse_odom(tag, t) -> OdometryData:
+    x, y, th = float(t[0]), float(t[1]), float(t[2])
+    tv, rv = float(t[3]), float(t[4])
+    ts = float(t[6])
+    return OdometryData(tag, ts, np.array([x, y, th]),
+                        np.array([tv, 0.0, rv]))
+
+
+def _parse_old_laser(tag, t, params) -> Optional[ScanData]:
+    n = int(t[0])
+    if n <= 0 or len(t) < n + 7:
+        return None
+    ranges = np.array([float(v) for v in t[1 : n + 1]])
+    lx, ly, lth = (float(v) for v in t[n + 1 : n + 4])
+    rx, ry, rth = (float(v) for v in t[n + 4 : n + 7])
+    ts = float(t[n + 7]) if len(t) > n + 7 else 0.0
+    laser_pose = np.array([lx, ly, lth])
+    robot_pose = np.array([rx, ry, rth])
+
+    min_range = float(params.get("Laser.MinRange", 0.0) or 0.0)
+    max_range = float(params.get("Laser.MaxRange", 80.0) or 80.0)
+    if "Laser.AngleIncrement" in params:
+        inc = float(params["Laser.AngleIncrement"])
+    else:
+        inc = _guess_angle_increment(n)
+    min_angle = float(params.get("Laser.MinAngle", -np.pi / 2))
+    if "Laser.MaxAngle" in params:
+        max_angle = float(params["Laser.MaxAngle"])
+    elif "Laser.AngleIncrement" in params:
+        max_angle = min_angle + inc * n
+    else:
+        max_angle = min_angle + _guess_angle_range(n)
+    angles = min_angle + inc * np.arange(n)
+    return ScanData(
+        tag, ts, robot_pose, np.zeros(3),
+        P.inverse_compound(robot_pose, laser_pose),
+        min_range, max_range, min_angle, max_angle, angles, ranges,
+    )
+
+
+def _parse_raw_laser(tag, t, robot: bool) -> Optional[ScanData]:
+    # laser_type start_angle fov angular_res max_range accuracy remission
+    start_angle = float(t[1])
+    angular_res = float(t[3])
+    max_range = float(t[4])
+    n = int(t[7])
+    if n <= 0 or len(t) < 8 + n:
+        return None
+    ranges = np.array([float(v) for v in t[8 : 8 + n]])
+    pos = 8 + n
+    num_rem = int(t[pos])
+    pos += 1 + num_rem
+    robot_pose = np.zeros(3)
+    rel_sensor = np.zeros(3)
+    if robot:
+        lx, ly, lth = (float(v) for v in t[pos : pos + 3])
+        rx, ry, rth = (float(v) for v in t[pos + 3 : pos + 6])
+        robot_pose = np.array([rx, ry, rth])
+        rel_sensor = P.inverse_compound(robot_pose, np.array([lx, ly, lth]))
+        pos += 6 + 2 + 3  # laser velocity (2) + safety dists/turn axis (3)
+    ts = float(t[pos]) if len(t) > pos else 0.0
+    angles = start_angle + angular_res * np.arange(n)
+    max_angle = start_angle + angular_res * (n - 1)
+    return ScanData(
+        tag, ts, robot_pose, np.zeros(3), rel_sensor,
+        0.0, max_range, start_angle, max_angle, angles, ranges,
+    )

@@ -102,3 +102,14 @@ class LoopDetectorCorrelative:
                 )
             )
         return results
+
+
+class LoopDetectorBranchBound(LoopDetectorCorrelative):
+    """``LoopDetectorBranchBound`` (``loop_detector_branch_bound.cpp``):
+    identical Detect flow with the branch-and-bound matcher; per-map
+    pyramid caching happens inside the matcher's coarse handling."""
+
+
+class LoopDetectorGridSearch(LoopDetectorCorrelative):
+    """``LoopDetectorGridSearch`` (``loop_detector_grid_search.cpp``):
+    identical Detect flow with the exhaustive grid-search matcher."""

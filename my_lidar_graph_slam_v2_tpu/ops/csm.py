@@ -124,11 +124,14 @@ def csm_sweep(
     onehot_r = onehot_r.astype(dtype) * theta_mask[:, None, None].astype(dtype)
     onehot_c = onehot_c.astype(dtype)
     # [T, crop_rows, B] @ [T, B, crop_cols] -> [T, crop_rows, crop_cols]
+    # The hit image is the dominant HBM intermediate (T * crop^2); in fast
+    # mode it is kept in bf16 end-to-end, which is exact for per-cell beam
+    # counts below 256 (MXU accumulates in f32 before rounding).
     hit_img = jax.lax.dot_general(
         jnp.swapaxes(onehot_r, 1, 2),
         onehot_c,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dtype,
     )
 
     # --- conv input: (prob, observed) crop shifted by the window origin --

@@ -1,0 +1,98 @@
+"""CLI launcher: run SLAM on a Carmen log.
+
+Equivalent of ``src/my_lidar_graph_slam/slam_launcher.cpp:205-360``::
+
+    python -m my_lidar_graph_slam_v2_tpu.pipeline.launcher \
+        <carmen log> <settings.json> [output-prefix]
+
+Loads the log, builds the module graph from the (reference-compatible)
+settings file, feeds scans through the pipeline, then saves the global
+map PNG+metadata, the pose-graph JSON, the latest map, and the metrics
+JSON — the same artifact set the reference emits.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("log", help="Carmen log file")
+    ap.add_argument("settings", nargs="?", default=None,
+                    help="settings JSON (reference format); defaults apply")
+    ap.add_argument("output", nargs="?", default=None,
+                    help="output prefix (default: log stem)")
+    ap.add_argument("--map-size", type=int, default=1024)
+    ap.add_argument("--crop", type=int, default=384)
+    ap.add_argument("--max-scans", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..config.settings import create_slam_from_settings, load_settings
+    from ..io import map_saver
+    from ..io.carmen import read_carmen_log
+    from ..metrics.registry import MetricManager
+    from ..sensor.data import ScanData
+
+    out_prefix = args.output or Path(args.log).stem
+
+    t0 = time.time()
+    records = read_carmen_log(args.log)
+    scans = [r for r in records if isinstance(r, ScanData)]
+    if args.max_scans:
+        scans = scans[: args.max_scans]
+    print(f"loaded {len(scans)} scans in {time.time()-t0:.1f}s", file=sys.stderr)
+    if not scans:
+        print("no scan data in log", file=sys.stderr)
+        return 1
+
+    settings = load_settings(args.settings) if args.settings else {}
+    slam = create_slam_from_settings(
+        settings, map_rows=args.map_size, map_cols=args.map_size,
+        crop=args.crop,
+    )
+    slam.start_backend()
+    t0 = time.time()
+    processed = 0
+    for i, scan in enumerate(scans):
+        if slam.process_scan(scan, scan.odom_pose):
+            processed += 1
+            if processed % 50 == 0:
+                print(
+                    f"frame {processed} ({i+1}/{len(scans)} scans, "
+                    f"{time.time()-t0:.1f}s)",
+                    file=sys.stderr,
+                )
+    slam.stop_backend()
+    wall = time.time() - t0
+    print(
+        f"processed {processed} keyframes / {len(scans)} scans in {wall:.1f}s "
+        f"({len(scans)/max(wall,1e-9):.1f} scans/s)",
+        file=sys.stderr,
+    )
+
+    traj = slam.get_trajectory()
+    map_pose, global_map = slam.get_global_map()
+    map_saver.save_map(global_map, out_prefix, map_pose, trajectory=traj)
+    map_saver.save_pose_graph(slam.pose_graph, f"{out_prefix}.posegraph.json")
+    latest_pose, latest_map = slam.get_latest_map()
+    map_saver.save_map(latest_map, f"{out_prefix}.latest", latest_pose)
+    MetricManager.instance().save_json(f"{out_prefix}.metric.json")
+    print(f"saved {out_prefix}.png / .posegraph.json / .metric.json",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

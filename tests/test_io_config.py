@@ -1,0 +1,150 @@
+import json
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from my_lidar_graph_slam_v2_tpu.io import carmen, map_saver
+from my_lidar_graph_slam_v2_tpu.sensor.data import OdometryData, ScanData
+
+
+def write_synthetic_carmen(path, n=5):
+    """FLASER old-format lines + PARAM records."""
+    rng = np.random.default_rng(0)
+    lines = [
+        "# synthetic test log",
+        "PARAM Laser.MaxRange 20.0",
+        "PARAM robot_frontlaser_offset 0.08",
+    ]
+    for i in range(n):
+        nr = 181
+        ranges = rng.uniform(0.5, 8.0, nr)
+        x, y, th = 0.1 * i, 0.05 * i, 0.01 * i
+        vals = " ".join(f"{r:.3f}" for r in ranges)
+        lines.append(
+            f"FLASER {nr} {vals} {x+0.08:.3f} {y:.3f} {th:.3f} "
+            f"{x:.3f} {y:.3f} {th:.3f} {100.0+i:.2f} host {100.0+i:.2f}"
+        )
+        lines.append(
+            f"ODOM {x:.3f} {y:.3f} {th:.3f} 0.1 0.0 0.0 {100.0+i:.2f} host {100.0+i:.2f}"
+        )
+    path.write_text("\n".join(lines))
+
+
+def test_carmen_reader(tmp_path):
+    p = tmp_path / "test.log"
+    write_synthetic_carmen(p)
+    records = carmen.read_carmen_log(str(p))
+    scans = [r for r in records if isinstance(r, ScanData)]
+    odoms = [r for r in records if isinstance(r, OdometryData)]
+    assert len(scans) == 5 and len(odoms) == 5
+    s = scans[0]
+    assert s.num_scans == 181
+    assert s.max_range == pytest.approx(20.0)
+    # FLASER with 181 beams: angles spread over pi starting at -pi/2
+    assert s.angles[0] == pytest.approx(-np.pi / 2)
+    assert s.angles[-1] == pytest.approx(np.pi / 2, abs=1e-6)
+    # sensor offset = laser pose relative to robot pose
+    np.testing.assert_allclose(s.relative_sensor_pose, [0.08, 0, 0], atol=1e-9)
+    assert s.time_stamp == pytest.approx(100.0)
+
+
+def test_map_saver_roundtrip(tmp_path):
+    from my_lidar_graph_slam_v2_tpu.graph.pose_graph import (
+        LocalMapNode,
+        PoseGraph,
+        PoseGraphEdge,
+        ScanNode,
+    )
+
+    pg = PoseGraph()
+    pg.local_map_nodes.append(LocalMapNode(0, np.array([1.0, 2.0, 0.3]), True))
+    pg.scan_nodes.append(
+        ScanNode(0, 0, np.zeros(3), np.array([1.1, 2.1, 0.31]), None)
+    )
+    pg.edges.append(
+        PoseGraphEdge(0, 0, 0, 0, np.array([0.1, 0.1, 0.01]), np.eye(3) * 5)
+    )
+    path = tmp_path / "pg.json"
+    map_saver.save_pose_graph(pg, str(path))
+    pg2 = map_saver.load_pose_graph(str(path))
+    assert len(pg2.scan_nodes) == 1 and len(pg2.edges) == 1
+    np.testing.assert_allclose(
+        pg2.scan_nodes[0].global_pose, pg.scan_nodes[0].global_pose
+    )
+    np.testing.assert_allclose(
+        pg2.edges[0].information_mat, pg.edges[0].information_mat
+    )
+
+
+def test_png_writer(tmp_path):
+    img = (np.arange(64 * 48) % 256).astype(np.uint8).reshape(48, 64)
+    p = tmp_path / "t.png"
+    map_saver.write_png_gray(str(p), img)
+    data = p.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in data and b"IEND" in data
+
+
+def test_settings_factory_default(tmp_path):
+    """Building from the reference's actual default settings file."""
+    from my_lidar_graph_slam_v2_tpu.config.settings import (
+        create_slam_from_settings,
+        load_settings,
+    )
+
+    ref = "/root/reference/launcher_settings_default.json"
+    import os
+
+    settings = load_settings(ref) if os.path.exists(ref) else {}
+    slam = create_slam_from_settings(
+        settings, map_rows=256, map_cols=256, n_theta_max=64, crop=256
+    )
+    from my_lidar_graph_slam_v2_tpu.matching.correlative import (
+        ScanMatcherCorrelative,
+    )
+    from my_lidar_graph_slam_v2_tpu.matching.linear_solver import (
+        ScanMatcherLinearSolver,
+    )
+
+    assert isinstance(slam.frontend.scan_matcher, ScanMatcherCorrelative)
+    assert isinstance(slam.frontend.final_scan_matcher, ScanMatcherLinearSolver)
+    assert slam.frontend.scan_matcher.cfg.range_x == pytest.approx(0.25)
+    assert slam.builder.cfg.probability_hit == pytest.approx(0.62)
+    # loop detector window from the default settings (2.5 m)
+    assert slam.backend.loop_detector.scan_matcher.cfg.range_x == pytest.approx(2.5)
+    assert slam.backend.loop_detector.cfg.score_threshold == pytest.approx(0.55)
+
+
+def test_launcher_cli_on_synthetic_log(tmp_path):
+    """End-to-end CLI drive: Carmen log in, maps + pose graph + metrics out."""
+    from my_lidar_graph_slam_v2_tpu.datasets import synthetic
+    from my_lidar_graph_slam_v2_tpu.pipeline import launcher
+
+    world = synthetic.World.office(seed=2, size=10.0)
+    traj = synthetic.loop_trajectory(size=10.0, laps=0.12, step=0.1)
+    seq = synthetic.generate(world, traj, n_beams=181, max_range=10.0, seed=3)
+    # Write as a Carmen FLASER log
+    lines = ["PARAM Laser.MaxRange 10.0"]
+    for s in seq.scans:
+        vals = " ".join(f"{r:.3f}" for r in s.ranges)
+        x, y, th = s.odom_pose
+        lines.append(
+            f"FLASER {s.num_scans} {vals} {x:.4f} {y:.4f} {th:.4f} "
+            f"{x:.4f} {y:.4f} {th:.4f} {s.time_stamp:.2f} h {s.time_stamp:.2f}"
+        )
+    log = tmp_path / "synth.log"
+    log.write_text("\n".join(lines))
+
+    out = tmp_path / "out"
+    rc = launcher.main([
+        str(log), None, str(out), "--map-size", "512", "--crop", "320",
+    ])
+    assert rc == 0
+    assert (tmp_path / "out.png").exists()
+    assert (tmp_path / "out.posegraph.json").exists()
+    assert (tmp_path / "out.metric.json").exists()
+    pg = json.loads((tmp_path / "out.posegraph.json").read_text())
+    assert len(pg["ScanNodes"]) >= 3
+    metrics = json.loads((tmp_path / "out.metric.json").read_text())
+    assert "Frontend.ProcessTime" in metrics

@@ -1,0 +1,110 @@
+"""Grid-search, branch-and-bound, hill-climbing matchers + greedy cost."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from my_lidar_graph_slam_v2_tpu.core import pose as P
+from my_lidar_graph_slam_v2_tpu.matching.branch_bound import (
+    BranchBoundConfig,
+    ScanMatcherBranchBound,
+)
+from my_lidar_graph_slam_v2_tpu.matching.grid_search import (
+    GridSearchConfig,
+    ScanMatcherGridSearch,
+)
+from my_lidar_graph_slam_v2_tpu.matching.hill_climbing import (
+    HillClimbingConfig,
+    ScanMatcherHillClimbing,
+)
+from my_lidar_graph_slam_v2_tpu.matching.types import ScanMatchingQuery
+
+from tests.test_matchers import RES, build_map, make_scan_arrays
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(21)
+    true_pose = np.array([0.35, -0.25, 0.12])
+    # Enough repeated observations that free cells drop below the greedy
+    # endpoint gate (p < 0.1 needs ~14 miss updates at p_miss = 0.46)
+    gm, geom = build_map(
+        [np.array([0.0, 0.0, 0.0])] * 16 + [true_pose] * 16, rng=rng
+    )
+    scan = make_scan_arrays(true_pose)
+    return gm, scan, true_pose
+
+
+def test_grid_search_recovers(scene):
+    gm, scan, true_pose = scene
+    init = true_pose + np.array([0.3, -0.3, 0.1])
+    m = ScanMatcherGridSearch(GridSearchConfig(
+        range_x=1.0, range_y=1.0, range_theta=0.3, step_theta=0.01,
+        crop_rows=384, crop_cols=384,
+    ))
+    s = m.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    assert s.pose_found
+    err = s.estimated_pose - true_pose
+    assert abs(err[0]) < 1.5 * RES and abs(err[1]) < 1.5 * RES
+    assert abs(P.normalize_angle(err[2])) < 0.02
+
+
+def test_branch_bound_recovers_and_matches_dense(scene):
+    gm, scan, true_pose = scene
+    init = true_pose + np.array([0.3, -0.3, 0.1])
+    m = ScanMatcherBranchBound(BranchBoundConfig(
+        node_height_max=4, range_x=1.0, range_y=1.0, range_theta=0.3,
+        n_theta_max=64, crop_rows=384, crop_cols=384,
+    ))
+    s = m.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    assert s.pose_found
+    err = s.estimated_pose - true_pose
+    assert abs(err[0]) < 1.5 * RES and abs(err[1]) < 1.5 * RES
+    assert abs(P.normalize_angle(err[2])) < 0.02
+    assert s.normalized_score > 0.4
+
+
+def test_branch_bound_threshold_gating(scene):
+    gm, scan, true_pose = scene
+    init = true_pose + np.array([0.3, -0.3, 0.1])
+    m = ScanMatcherBranchBound(BranchBoundConfig(
+        node_height_max=4, range_x=1.0, range_y=1.0, range_theta=0.3,
+        n_theta_max=64, crop_rows=384, crop_cols=384,
+    ))
+    # Impossible score threshold -> not found, offsets default to zero
+    s = m.optimize_pose(
+        ScanMatchingQuery(gm, scan, init), score_threshold=0.99
+    )
+    assert not s.pose_found
+    np.testing.assert_allclose(s.estimated_pose, init, atol=1e-5)
+
+
+def test_hill_climbing_improves(scene):
+    gm, scan, true_pose = scene
+    init = true_pose + np.array([0.06, -0.05, 0.03])
+    m = ScanMatcherHillClimbing(HillClimbingConfig())
+    s = m.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    err0 = np.linalg.norm(init[:2] - true_pose[:2])
+    err1 = np.linalg.norm(s.estimated_pose[:2] - true_pose[:2])
+    assert err1 <= err0 + 0.03
+    assert np.all(np.isfinite(s.covariance))
+
+
+def test_greedy_endpoint_cost_prefers_true_pose(scene):
+    from my_lidar_graph_slam_v2_tpu.ops import greedy_endpoint as ge
+
+    gm, scan, true_pose = scene
+    kx, ky, kc, kd = ge.make_kernel_tables(1, RES, 0.05)
+    off = jnp.asarray(gm.offset_xy, jnp.float32)
+
+    def cost(p):
+        return float(ge.cost(
+            gm.prob, gm.observed, scan.ranges, scan.angles, scan.mask,
+            jnp.asarray(p, jnp.float32), RES, off,
+            kernel_ox=kx, kernel_oy=ky, kernel_cost=kc, default_cost=kd,
+        ))
+
+    c_true = cost(true_pose)
+    c_off = cost(true_pose + np.array([0.4, 0.4, 0.2]))
+    assert c_true < c_off
