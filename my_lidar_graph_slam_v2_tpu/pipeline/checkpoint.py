@@ -1,0 +1,144 @@
+"""Checkpoint / resume.
+
+The reference persists only at end-of-run (pose-graph JSON + maps,
+``map_saver.cpp:205-265``); SURVEY.md section 5.4 identifies the
+pose-graph JSON (plus raw scan buffers) as the natural mid-run checkpoint
+format.  This module implements exactly that for multi-host/long runs:
+
+* ``save``: pose graph JSON + all scan buffers (npz) + builder counters.
+* ``load``: rebuild the full SLAM state — local map rasters are
+  re-rasterized from their scans via ``construct_map_from_scans`` (valid
+  because map-local scan poses inside a finished local map are invariant,
+  ``grid_map_builder.cpp:440-449``), so no device arrays need serializing.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..core import pose as P
+from ..grid.builder import GridMapBuilder, LocalMap
+from ..io import map_saver
+from ..sensor.data import ScanData
+
+
+def save(slam, prefix: str):
+    map_saver.save_pose_graph(slam.pose_graph, f"{prefix}.posegraph.json")
+    scans = {}
+    meta = []
+    for n in slam.pose_graph.scan_nodes:
+        s = n.scan_data
+        scans[f"ranges_{n.node_id}"] = s.ranges
+        scans[f"angles_{n.node_id}"] = s.angles
+        meta.append(
+            dict(
+                node_id=n.node_id,
+                sensor_id=s.sensor_id,
+                time_stamp=s.time_stamp,
+                odom_pose=[float(v) for v in s.odom_pose],
+                rel_sensor_pose=[float(v) for v in s.relative_sensor_pose],
+                min_range=s.min_range,
+                max_range=s.max_range,
+                min_angle=s.min_angle,
+                max_angle=s.max_angle,
+            )
+        )
+    np.savez_compressed(f"{prefix}.scans.npz", **scans)
+    state = dict(
+        scan_meta=meta,
+        local_maps=[
+            dict(
+                id=lm.local_map_id,
+                scan_min=lm.scan_node_id_min,
+                scan_max=lm.scan_node_id_max,
+                finished=lm.finished,
+            )
+            for lm in slam.builder.local_maps
+        ],
+        accum_travel_dist=slam.builder.accum_travel_dist,
+        travel_dist_last_local_map=slam.builder.travel_dist_last_local_map,
+        frontend=dict(
+            process_count=slam.frontend.process_count,
+            input_count=slam.frontend.input_count,
+            last_odom_pose=[float(v) for v in slam.frontend.last_odom_pose],
+            last_map_update_odom_pose=[
+                float(v) for v in slam.frontend.last_map_update_odom_pose
+            ],
+            last_map_update_time=slam.frontend.last_map_update_time,
+            last_loop_detection_dist=slam.frontend.last_loop_detection_dist,
+        ),
+    )
+    Path(f"{prefix}.state.json").write_text(json.dumps(state, indent=1))
+
+
+def load(slam, prefix: str):
+    """Restore state into a freshly constructed SLAM instance (same
+    configuration as at save time)."""
+    pg = map_saver.load_pose_graph(f"{prefix}.posegraph.json")
+    state = json.loads(Path(f"{prefix}.state.json").read_text())
+    scans = np.load(f"{prefix}.scans.npz")
+    for m in state["scan_meta"]:
+        nid = m["node_id"]
+        pg.scan_nodes[nid].scan_data = ScanData(
+            m["sensor_id"],
+            m["time_stamp"],
+            np.asarray(m["odom_pose"]),
+            np.zeros(3),
+            np.asarray(m["rel_sensor_pose"]),
+            m["min_range"],
+            m["max_range"],
+            m["min_angle"],
+            m["max_angle"],
+            scans[f"angles_{nid}"],
+            scans[f"ranges_{nid}"],
+        )
+    slam.pose_graph = pg
+
+    builder: GridMapBuilder = slam.builder
+    builder.local_maps = []
+    cfg = builder.cfg
+    for lm_meta in state["local_maps"]:
+        mid = lm_meta["id"]
+        map_node = pg.local_map_nodes[mid]
+        lo, obs, offset = builder._new_raster(cfg.local_map_rows, cfg.local_map_cols)
+        scan_ids = list(range(lm_meta["scan_min"], lm_meta["scan_max"] + 1))
+        # Local maps seeded with overlapped scans at creation also contain
+        # scans preceding scan_min (grid_map_builder.cpp:252-276)
+        if mid > 0:
+            prev_max = state["local_maps"][mid - 1]["scan_max"]
+            n_seed = min(prev_max + 1, cfg.num_overlapped_scans)
+            first = max(0, prev_max - (n_seed - 1))
+            scan_ids = list(range(first, prev_max + 1)) + scan_ids
+        # Reconstruct per-scan global poses from the invariant map-local
+        # poses through each scan's own map node, so the rebuilt raster
+        # stays consistent after loop closures moved node poses.
+        entries = []
+        for sid in scan_ids:
+            node = pg.scan_nodes[sid]
+            own_map = pg.local_map_nodes[node.local_map_id]
+            gp = P.compound(own_map.global_pose, node.local_pose)
+            entries.append((gp, node.scan_data))
+        lo, obs = builder._integrate(lo, obs, offset, map_node.global_pose, entries)
+        builder.local_maps.append(
+            LocalMap(
+                mid, lo, obs, offset,
+                scan_node_id_min=lm_meta["scan_min"],
+                scan_node_id_max=lm_meta["scan_max"],
+                finished=lm_meta["finished"],
+            )
+        )
+    builder.accum_travel_dist = state["accum_travel_dist"]
+    builder.travel_dist_last_local_map = state["travel_dist_last_local_map"]
+
+    fe = state["frontend"]
+    slam.frontend.process_count = fe["process_count"]
+    slam.frontend.input_count = fe["input_count"]
+    slam.frontend.last_odom_pose = np.asarray(fe["last_odom_pose"])
+    slam.frontend.last_map_update_odom_pose = np.asarray(
+        fe["last_map_update_odom_pose"]
+    )
+    slam.frontend.last_map_update_time = fe["last_map_update_time"]
+    slam.frontend.last_loop_detection_dist = fe["last_loop_detection_dist"]
+    return slam

@@ -27,9 +27,19 @@ def create_scan_matcher(type_name: str, **kw):
         return ScanMatcherCorrelative(CorrelativeConfig(**kw))
     if type_name == "LinearSolver":
         return ScanMatcherLinearSolver(LinearSolverConfig(**kw))
-    from .factory_extra import create_extra_matcher  # late import, optional
+    if type_name == "BranchBound":
+        from ..matching.branch_bound import BranchBoundConfig, ScanMatcherBranchBound
 
-    return create_extra_matcher(type_name, **kw)
+        return ScanMatcherBranchBound(BranchBoundConfig(**kw))
+    if type_name == "GridSearch":
+        from ..matching.grid_search import GridSearchConfig, ScanMatcherGridSearch
+
+        return ScanMatcherGridSearch(GridSearchConfig(**kw))
+    if type_name == "HillClimbing":
+        from ..matching.hill_climbing import HillClimbingConfig, ScanMatcherHillClimbing
+
+        return ScanMatcherHillClimbing(HillClimbingConfig(**kw))
+    raise ValueError(f"unknown scan matcher type: {type_name}")
 
 
 def create_default_backend(
@@ -94,6 +104,7 @@ def create_default_slam(
     n_theta_max: int = 208,
     crop: int = 384,
     backend=None,
+    fused_matcher: bool = False,
     frontend_overrides: Optional[dict] = None,
     builder_overrides: Optional[dict] = None,
     matcher_overrides: Optional[dict] = None,
@@ -118,7 +129,15 @@ def create_default_slam(
         crop_cols=crop,
         **(matcher_overrides or {}),
     )
-    scan_matcher = ScanMatcherCorrelative(CorrelativeConfig(**matcher_cfg))
+    if fused_matcher:
+        from ..models.fused_matcher import FusedCorrelativeGNMatcher
+
+        scan_matcher = FusedCorrelativeGNMatcher(
+            CorrelativeConfig(**matcher_cfg),
+            LinearSolverConfig(resolution=resolution),
+        )
+    else:
+        scan_matcher = ScanMatcherCorrelative(CorrelativeConfig(**matcher_cfg))
     final_matcher = ScanMatcherLinearSolver(
         LinearSolverConfig(resolution=resolution)
     )

@@ -168,9 +168,14 @@ class LidarGraphSlamFrontend:
                 ScanMatchingQuery(latest_map, scan_arrays, map_local_initial)
             )
             assert summary.pose_found, "frontend scan matching failed"
-            final_summary = self.final_scan_matcher.optimize_pose(
-                ScanMatchingQuery(latest_map, scan_arrays, summary.estimated_pose)
-            )
+            if getattr(self.scan_matcher, "fused", False):
+                # The matcher already includes the final (GN) refinement in
+                # its single fused dispatch (models/fused_matcher.py)
+                final_summary = summary
+            else:
+                final_summary = self.final_scan_matcher.optimize_pose(
+                    ScanMatchingQuery(latest_map, scan_arrays, summary.estimated_pose)
+                )
             self._m_matching_time.observe(_time.perf_counter() - t_match)
 
             global_estimated = P.compound(
