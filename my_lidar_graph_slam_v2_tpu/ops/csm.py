@@ -43,6 +43,7 @@ import jax.numpy as jnp
         "crop_rows",
         "crop_cols",
         "precision",
+        "backend",
     ),
 )
 def csm_sweep(
@@ -67,6 +68,7 @@ def csm_sweep(
     crop_rows: int = 256,
     crop_cols: int = 256,
     precision: str = "highest",
+    backend: str = "xla",
 ):
     """Evaluate the CSM score over the pose grid.
 
@@ -115,6 +117,29 @@ def csm_sweep(
         & (hc >= 0)
         & (hc < crop_cols)
     )
+
+    if backend == "pallas":
+        from . import csm_pallas
+
+        # Fold beam validity and theta masking into the indices: row -1
+        # never matches the in-kernel iota, so those beams vanish.
+        ok = valid & theta_mask[:, None]
+        hr_k = jnp.where(ok, hr, -1)
+        in_rows = crop_rows + (ny - 1) * stride
+        in_cols = crop_cols + (nx - 1) * stride
+        pad = max(in_rows, in_cols)
+        planes = jnp.stack([prob, observed.astype(jnp.float32)], axis=0)
+        planes = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)))
+        start_r = jnp.clip(r0 + y0 + pad, 0, planes.shape[1] - in_rows)
+        start_c = jnp.clip(c0 + x0 + pad, 0, planes.shape[2] - in_cols)
+        inp = jax.lax.dynamic_slice(
+            planes, (jnp.int32(0), start_r, start_c), (2, in_rows, in_cols)
+        )
+        return csm_pallas.sweep(
+            inp, hr_k, hc,
+            nx=nx, ny=ny, stride=stride,
+            crop_rows=crop_rows, crop_cols=crop_cols,
+        )
 
     # --- one-hot hit images via batched outer-product matmul -------------
     iota_r = jnp.arange(crop_rows, dtype=jnp.int32)

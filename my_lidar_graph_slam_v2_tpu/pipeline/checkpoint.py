@@ -62,6 +62,8 @@ def save(slam, prefix: str):
         frontend=dict(
             process_count=slam.frontend.process_count,
             input_count=slam.frontend.input_count,
+            accumulated_travel_dist=slam.frontend.accumulated_travel_dist,
+            accumulated_angle=slam.frontend.accumulated_angle,
             last_odom_pose=[float(v) for v in slam.frontend.last_odom_pose],
             last_map_update_odom_pose=[
                 float(v) for v in slam.frontend.last_map_update_odom_pose
@@ -135,6 +137,8 @@ def load(slam, prefix: str):
     fe = state["frontend"]
     slam.frontend.process_count = fe["process_count"]
     slam.frontend.input_count = fe["input_count"]
+    slam.frontend.accumulated_travel_dist = fe.get("accumulated_travel_dist", 0.0)
+    slam.frontend.accumulated_angle = fe.get("accumulated_angle", 0.0)
     slam.frontend.last_odom_pose = np.asarray(fe["last_odom_pose"])
     slam.frontend.last_map_update_odom_pose = np.asarray(
         fe["last_map_update_odom_pose"]

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+
+def test_fused_matcher_matches_two_stage():
+    from my_lidar_graph_slam_v2_tpu.matching.correlative import (
+        CorrelativeConfig,
+        ScanMatcherCorrelative,
+    )
+    from my_lidar_graph_slam_v2_tpu.matching.linear_solver import (
+        LinearSolverConfig,
+        ScanMatcherLinearSolver,
+    )
+    from my_lidar_graph_slam_v2_tpu.matching.types import ScanMatchingQuery
+    from my_lidar_graph_slam_v2_tpu.models.fused_matcher import (
+        FusedCorrelativeGNMatcher,
+    )
+    from tests.test_matchers import build_map, make_scan_arrays
+
+    rng = np.random.default_rng(31)
+    true_pose = np.array([0.3, -0.2, 0.1])
+    gm, _ = build_map([np.zeros(3)] * 8 + [true_pose] * 8, rng=rng)
+    scan = make_scan_arrays(true_pose)
+    init = true_pose + np.array([0.05, -0.06, 0.08])
+
+    ccfg = CorrelativeConfig(crop_rows=320, crop_cols=320, n_theta_max=96)
+    lcfg = LinearSolverConfig()
+    csm = ScanMatcherCorrelative(ccfg)
+    gn = ScanMatcherLinearSolver(lcfg)
+    s1 = csm.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    s1f = gn.optimize_pose(ScanMatchingQuery(gm, scan, s1.estimated_pose))
+
+    fused = FusedCorrelativeGNMatcher(ccfg, lcfg)
+    s2 = fused.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    assert s2.pose_found
+    np.testing.assert_allclose(s2.estimated_pose, s1f.estimated_pose, atol=2e-3)
+    np.testing.assert_allclose(s2.covariance, s1f.covariance, rtol=0.05, atol=1e-3)
+
+
+def test_pallas_sweep_matches_xla_interpret():
+    from my_lidar_graph_slam_v2_tpu.ops import csm
+    import my_lidar_graph_slam_v2_tpu.ops.csm_pallas as cp
+
+    rng = np.random.default_rng(5)
+    H = W = 256
+    prob = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    obs = rng.uniform(0, 1, (H, W)) > 0.5
+    prob = np.where(obs, prob, 0.0)
+    B = 64
+    args = (
+        jnp.asarray(prob), jnp.asarray(obs),
+        jnp.asarray(rng.uniform(0.5, 3.0, B).astype(np.float32)),
+        jnp.asarray(np.linspace(-np.pi, np.pi, B).astype(np.float32)),
+        jnp.ones(B, bool),
+        jnp.asarray(np.float32([0.1, -0.05, 0.2])),
+        jnp.int32(-8), jnp.float32(0.01), jnp.ones(16, bool),
+        jnp.int32(-3), jnp.int32(-3), 0.05,
+        jnp.asarray(np.float32([-6.4, -6.4])),
+    )
+    kw = dict(n_theta=16, nx=10, ny=10, stride=1, crop_rows=192, crop_cols=256)
+    s1, k1 = csm.csm_sweep(*args, **kw)
+    orig = cp.sweep
+    cp.sweep = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        s2, k2 = csm.csm_sweep(*args, backend="pallas", **kw)
+    finally:
+        cp.sweep = orig
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0.05)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from my_lidar_graph_slam_v2_tpu.datasets import synthetic
+    from my_lidar_graph_slam_v2_tpu.pipeline import checkpoint
+    from my_lidar_graph_slam_v2_tpu.pipeline.factory import create_default_slam
+
+    world = synthetic.World.office(seed=4, size=10.0)
+    traj = synthetic.loop_trajectory(size=10.0, laps=0.2, step=0.1)
+    seq = synthetic.generate(world, traj, n_beams=181, max_range=10.0, seed=5)
+
+    def make():
+        return create_default_slam(
+            map_rows=512, map_cols=512, beam_capacity=512,
+            samples_per_beam=256, usable_range_max=10.0,
+            n_theta_max=64, crop=320,
+        )
+
+    # Run A: full run
+    slam_a = make()
+    half = len(seq.scans) // 2
+    for s in seq.scans:
+        slam_a.process_scan(s, s.odom_pose)
+    est_full = slam_a.get_trajectory()
+
+    # Run B: first half, checkpoint, restore into a fresh instance, resume
+    slam_b = make()
+    for s in seq.scans[:half]:
+        slam_b.process_scan(s, s.odom_pose)
+    checkpoint.save(slam_b, str(tmp_path / "ckpt"))
+
+    slam_c = make()
+    checkpoint.load(slam_c, str(tmp_path / "ckpt"))
+    assert len(slam_c.pose_graph.scan_nodes) == len(slam_b.pose_graph.scan_nodes)
+    for s in seq.scans[half:]:
+        slam_c.process_scan(s, s.odom_pose)
+    est_resumed = slam_c.get_trajectory()
+
+    assert len(est_resumed) == len(est_full)
+    # Resumed trajectory should closely track the uninterrupted run
+    err = np.linalg.norm(est_resumed[:, :2] - est_full[:, :2], axis=1)
+    assert err.max() < 0.15, err.max()
