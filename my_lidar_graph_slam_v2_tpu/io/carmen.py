@@ -41,8 +41,53 @@ def _guess_angle_increment(n: int) -> float:
     return _guess_angle_range(n) / max(n - 1, 1)
 
 
-def read_carmen_log(path: str) -> List[object]:
-    """Returns the time-ordered list of OdometryData / ScanData records."""
+def read_carmen_log(path: str, native: Optional[bool] = None) -> List[object]:
+    """Returns the time-ordered list of OdometryData / ScanData records.
+
+    ``native`` selects the C++ parser (native/carmen_reader.cpp; ~10x the
+    pure-Python tokenizer on the Radish logs): True forces it, False forces
+    the Python path, None (default) tries native and falls back if the
+    toolchain is unavailable.
+    """
+    if native is None or native:
+        try:
+            return _read_native(path)
+        except OSError:
+            raise
+        except Exception:
+            if native:
+                raise
+    return _read_python(path)
+
+
+def _read_native(path: str) -> List[object]:
+    from ..native import carmen_load_arrays
+
+    odom, meta, all_ranges = carmen_load_arrays(path)
+    records: List[tuple] = []
+    for row in odom:
+        records.append((
+            row[0],
+            OdometryData("ODOM", row[1], row[2:5].copy(),
+                         np.array([row[5], 0.0, row[6]])),
+        ))
+    for row in meta:
+        n = int(row[14])
+        off = int(row[15])
+        angles = row[12] + row[13] * np.arange(n)
+        records.append((
+            row[0],
+            ScanData(
+                "LASER", row[1], row[2:5].copy(), np.zeros(3),
+                row[5:8].copy(), row[8], row[9], row[10], row[11],
+                angles, all_ranges[off : off + n].copy(),
+            ),
+        ))
+    records.sort(key=lambda r: r[0])
+    return [r[1] for r in records]
+
+
+def _read_python(path: str) -> List[object]:
     params: Dict[str, str] = {}
     out: List[object] = []
     with open(path, "r") as f:

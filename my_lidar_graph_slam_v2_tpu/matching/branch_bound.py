@@ -51,7 +51,7 @@ class BranchBoundConfig:
     crop_rows: int = 448
     crop_cols: int = 448
     covariance_scale: float = 1e4
-    precision: str = "highest"
+    precision: str = "split"
 
     @property
     def win_cells(self):

@@ -48,7 +48,7 @@ class CorrelativeConfig:
     crop_rows: int = 384
     crop_cols: int = 384
     covariance_scale: float = 1e4
-    precision: str = "highest"
+    precision: str = "split"
 
     @property
     def win_cells(self):

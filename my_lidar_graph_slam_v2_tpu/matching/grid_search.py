@@ -34,7 +34,7 @@ class GridSearchConfig:
     crop_rows: int = 448
     crop_cols: int = 448
     covariance_scale: float = 1e4
-    precision: str = "highest"
+    precision: str = "split"
 
     def __post_init__(self):
         if abs(self.step_x - self.resolution) > 1e-9 or abs(

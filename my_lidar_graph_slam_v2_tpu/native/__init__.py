@@ -61,6 +61,51 @@ def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+_carmen = None
+
+
+def carmen_reader():
+    """ctypes handle to the native Carmen log parser."""
+    global _carmen
+    if _carmen is None:
+        lib = ctypes.CDLL(str(_build("carmen_reader")))
+        lib.carmen_load.restype = ctypes.c_void_p
+        lib.carmen_load.argtypes = [ctypes.c_char_p]
+        lib.carmen_free.argtypes = [ctypes.c_void_p]
+        for fn in ("carmen_n_odom", "carmen_n_scan", "carmen_total_ranges"):
+            getattr(lib, fn).restype = ctypes.c_long
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        dptr = ctypes.POINTER(ctypes.c_double)
+        for fn in ("carmen_export_odom", "carmen_export_scan_meta",
+                   "carmen_export_ranges"):
+            getattr(lib, fn).argtypes = [ctypes.c_void_p, dptr]
+        _carmen = lib
+    return _carmen
+
+
+def carmen_load_arrays(path: str):
+    """Parse a Carmen log natively. Returns (odom[n,7], scan_meta[n,16],
+    ranges[total]) float64 arrays, or raises OSError if unreadable."""
+    lib = carmen_reader()
+    h = lib.carmen_load(os.fsencode(path))
+    if not h:
+        raise OSError(f"cannot read Carmen log: {path}")
+    try:
+        dptr = ctypes.POINTER(ctypes.c_double)
+        odom = np.empty((lib.carmen_n_odom(h), 7), np.float64)
+        meta = np.empty((lib.carmen_n_scan(h), 16), np.float64)
+        ranges = np.empty(lib.carmen_total_ranges(h), np.float64)
+        if odom.size:
+            lib.carmen_export_odom(h, odom.ctypes.data_as(dptr))
+        if meta.size:
+            lib.carmen_export_scan_meta(h, meta.ctypes.data_as(dptr))
+        if ranges.size:
+            lib.carmen_export_ranges(h, ranges.ctypes.data_as(dptr))
+        return odom, meta, ranges
+    finally:
+        lib.carmen_free(h)
+
+
 def cpu_precompute_coarse(prob: np.ndarray, win: int) -> np.ndarray:
     lib = csm_baseline()
     prob = np.ascontiguousarray(prob, np.float32)

@@ -79,9 +79,10 @@ def csm_sweep(
     Returns ``(scores, known)`` of shape ``[n_theta, ny, nx]`` (f32): the
     summed probability and known-cell count per candidate.
     """
+    if precision not in ("fast", "split", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
     H, W = prob.shape
     res = jnp.float32(resolution)
-    dtype = jnp.bfloat16 if precision == "fast" else jnp.float32
 
     # --- per-(theta, beam) endpoint cells, in full-map cell coords -------
     t_idx = theta0_index + jnp.arange(n_theta, dtype=jnp.int32)
@@ -142,21 +143,26 @@ def csm_sweep(
         )
 
     # --- one-hot hit images via batched outer-product matmul -------------
+    # One-hot operands are 0/1, and per-cell hit counts stay far below 256,
+    # so bf16 operands with f32 MXU accumulation are EXACT here — the build
+    # runs at full bf16 MXU rate regardless of the requested precision.
     iota_r = jnp.arange(crop_rows, dtype=jnp.int32)
     iota_c = jnp.arange(crop_cols, dtype=jnp.int32)
     onehot_r = (hr[:, :, None] == iota_r[None, None, :]) & valid[:, :, None]
     onehot_c = hc[:, :, None] == iota_c[None, None, :]
-    onehot_r = onehot_r.astype(dtype) * theta_mask[:, None, None].astype(dtype)
-    onehot_c = onehot_c.astype(dtype)
+    onehot_r = (
+        onehot_r.astype(jnp.bfloat16)
+        * theta_mask[:, None, None].astype(jnp.bfloat16)
+    )
+    onehot_c = onehot_c.astype(jnp.bfloat16)
     # [T, crop_rows, B] @ [T, B, crop_cols] -> [T, crop_rows, crop_cols]
-    # The hit image is the dominant HBM intermediate (T * crop^2); in fast
-    # mode it is kept in bf16 end-to-end, which is exact for per-cell beam
-    # counts below 256 (MXU accumulates in f32 before rounding).
+    # The hit image is the dominant HBM intermediate (T * crop^2); it is
+    # kept in bf16 end-to-end (exact: small integer counts).
     hit_img = jax.lax.dot_general(
         jnp.swapaxes(onehot_r, 1, 2),
         onehot_c,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=dtype,
+        preferred_element_type=jnp.bfloat16,
     )
 
     # --- conv input: (prob, observed) crop shifted by the window origin --
@@ -172,39 +178,64 @@ def csm_sweep(
         planes,
         (jnp.int32(0), start_r, start_c),
         (2, in_rows, in_cols),
-    ).astype(dtype)
+    )
+
+    # Precision of the score contraction (hit counts are exact in bf16):
+    #   fast    — map probs rounded to bf16, one bf16 matmul (~0.4% score
+    #             error; fine for coarse gating / loop candidate triage)
+    #   split   — probs split hi+lo bf16, two bf16 matmuls: ~f32-accurate
+    #             at one third of the f32 MXU cost (the default)
+    #   highest — f32 operands end-to-end (oracle/parity tests)
+    if precision == "highest":
+        parts = [inp]
+        hit_c = hit_img.astype(jnp.float32)
+    else:
+        hi = inp.astype(jnp.bfloat16)
+        parts = [hi]
+        if precision == "split":
+            parts.append((inp - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+        hit_c = hit_img
 
     if ny * nx <= 256:
         # Small windows (the frontend hot path): express the window sweep
         # as one matmul against explicitly shifted map patches — measured
         # ~1.6x faster than XLA's conv lowering for near-input-sized
         # kernels on TPU.
-        sl = [
-            jax.lax.dynamic_slice(
-                inp, (0, j * stride, i * stride), (2, crop_rows, crop_cols)
-            ).reshape(2, -1)
-            for j in range(ny)
-            for i in range(nx)
-        ]
-        patches = jnp.stack(sl, axis=1)  # [2, ny*nx, crop_r*crop_c]
-        out = jax.lax.dot_general(
-            hit_img.astype(dtype).reshape(T_dim := hit_img.shape[0], -1),
-            patches,
-            dimension_numbers=(((1,), (2,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, 2, ny*nx]
+        T_dim = hit_c.shape[0]
+        hit_flat = hit_c.reshape(T_dim, -1)
+        out = None
+        for part in parts:
+            sl = [
+                jax.lax.dynamic_slice(
+                    part, (0, j * stride, i * stride),
+                    (2, crop_rows, crop_cols),
+                ).reshape(2, -1)
+                for j in range(ny)
+                for i in range(nx)
+            ]
+            patches = jnp.stack(sl, axis=1)  # [2, ny*nx, crop_r*crop_c]
+            o = jax.lax.dot_general(
+                hit_flat,
+                patches,
+                dimension_numbers=(((1,), (2,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, 2, ny*nx]
+            out = o if out is None else out + o
         scores = out[:, 0, :].reshape(-1, ny, nx)
         known = out[:, 1, :].reshape(-1, ny, nx)
         return scores, known
 
-    out = jax.lax.conv_general_dilated(
-        inp[:, None, :, :],  # [2, 1, in_rows, in_cols]
-        hit_img.astype(dtype)[:, None, :, :],  # [T, 1, crop_rows, crop_cols]
-        window_strides=(stride, stride),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )  # [2, T, ny, nx]
+    out = None
+    for part in parts:
+        o = jax.lax.conv_general_dilated(
+            part[:, None, :, :],  # [2, 1, in_rows, in_cols]
+            hit_c[:, None, :, :],  # [T, 1, crop_rows, crop_cols]
+            window_strides=(stride, stride),
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )  # [2, T, ny, nx]
+        out = o if out is None else out + o
     scores = out[0]
     known = out[1]
     return scores, known

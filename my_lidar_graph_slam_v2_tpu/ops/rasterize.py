@@ -36,7 +36,9 @@ from ..grid import values as gv
 DEFAULT_SAMPLES_PER_BEAM = 768
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples",))
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "backend", "crop", "chunk")
+)
 def integrate_scans(
     logodds: jax.Array,  # [H, W] f32
     observed: jax.Array,  # [H, W] bool
@@ -48,9 +50,27 @@ def integrate_scans(
     logodds_hit: float,
     logodds_miss: float,
     num_samples: int = DEFAULT_SAMPLES_PER_BEAM,
+    backend: str = "scatter",
+    crop: int | None = None,
+    chunk: int = 2048,
 ):
     """Integrate S scans (sequentially) into the raster. Returns updated
-    (logodds, observed)."""
+    (logodds, observed).
+
+    ``backend`` selects how the per-sample miss updates reach the raster:
+
+    * ``"scatter"`` — one ``scatter-add`` of all samples (simple, but TPU
+      scatters serialize: ~15 ms/scan at 512x768 samples).
+    * ``"matmul"`` — the free-space count image is built on the MXU as a
+      sum of one-hot outer products (same trick as the CSM hit images,
+      ops/csm.py): per sample chunk, ``onehot_rows^T @ onehot_cols`` over
+      a ``crop x crop`` window anchored at the scan's sample bounding box.
+      Counts are exact (0/1 bf16 operands, f32 accumulation); the count
+      image is scaled by ``logodds_miss`` afterwards, so no bf16 rounding
+      of the update weights.  ``crop`` must cover one scan's sample bbox
+      (2 * usable_range / resolution + margin); it defaults to the full
+      raster.  Hit-cell updates (<= B per scan) stay a scatter.
+    """
     if not (
         sensor_xy.shape[0] == hits_xy.shape[0] == hit_mask.shape[0]
         and hits_xy.shape[1] == hit_mask.shape[1]
@@ -91,11 +111,17 @@ def integrate_scans(
             mask[:, None] & ~same_as_prev & ~is_hit_cell & inside
         )
 
-        delta = jnp.zeros((h, w), dtype=jnp.float32)
-        delta = delta.at[rows, cols].add(
-            jnp.where(miss_valid, jnp.float32(logodds_miss), 0.0),
-            mode="drop",
-        )
+        if backend == "scatter":
+            delta = jnp.zeros((h, w), dtype=jnp.float32)
+            delta = delta.at[rows, cols].add(
+                jnp.where(miss_valid, jnp.float32(logodds_miss), 0.0),
+                mode="drop",
+            )
+        else:
+            delta = _miss_counts_matmul(
+                rows, cols, miss_valid, h, w,
+                crop if crop is not None else max(h, w), chunk,
+            ) * jnp.float32(logodds_miss)
         hit_inside = (
             mask & (hit_r >= 0) & (hit_r < h) & (hit_c >= 0) & (hit_c < w)
         )
@@ -117,6 +143,56 @@ def integrate_scans(
         0, n_scans, one_scan, (logodds, observed)
     )
     return logodds, observed
+
+
+def _miss_counts_matmul(rows, cols, valid, h, w, crop, chunk):
+    """Free-space visit counts as chunked one-hot matmuls on the MXU.
+
+    ``rows/cols/valid``: [B, K] per-sample cells.  Returns an [h, w] f32
+    count image.  The one-hot operands live over a ``crop x crop`` window
+    anchored at the (valid-)sample bounding box so the contraction stays
+    small; the window is clamped inside the raster, and the caller
+    guarantees ``crop`` covers a scan's spread (see integrate_scans).
+    """
+    cr = min(crop, h)
+    cc = min(crop, w)
+    big = jnp.int32(1 << 30)
+    r0 = jnp.clip(
+        jnp.min(jnp.where(valid, rows, big)), 0, max(h - cr, 0)
+    )
+    c0 = jnp.clip(
+        jnp.min(jnp.where(valid, cols, big)), 0, max(w - cc, 0)
+    )
+    rr = jnp.where(valid, rows - r0, -1).reshape(-1)
+    cc_idx = jnp.where(valid, cols - c0, -1).reshape(-1)
+    n = rr.shape[0]
+    n_chunks = max(1, (n + chunk - 1) // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        rr = jnp.pad(rr, (0, pad), constant_values=-1)
+        cc_idx = jnp.pad(cc_idx, (0, pad), constant_values=-1)
+    rr = rr.reshape(n_chunks, chunk)
+    cc_idx = cc_idx.reshape(n_chunks, chunk)
+    iota_r = jnp.arange(cr, dtype=jnp.int32)
+    iota_c = jnp.arange(cc, dtype=jnp.int32)
+
+    def step(acc, rc):
+        r, c = rc
+        onehot_rT = (iota_r[:, None] == r[None, :]).astype(jnp.bfloat16)
+        onehot_c = (c[:, None] == iota_c[None, :]).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            onehot_rT,
+            onehot_c,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    counts_crop, _ = jax.lax.scan(
+        step, jnp.zeros((cr, cc), jnp.float32), (rr, cc_idx)
+    )
+    out = jnp.zeros((h, w), jnp.float32)
+    return jax.lax.dynamic_update_slice(out, counts_crop, (r0, c0))
 
 
 @jax.jit

@@ -130,7 +130,7 @@ def profile_correlative():
     pose = jnp.asarray(np.tile(np.float32([0, 0, 0.1]), (BA, 1)))
     off = jnp.asarray(np.tile(np.float32([-25.6, -25.6]), (BA, 1)))
 
-    for prec in ("highest", "fast"):
+    for prec in ("highest", "split", "fast"):
         cfg = CorrelativeConfig(
             n_theta_max=208, crop_rows=384, crop_cols=384, precision=prec
         )

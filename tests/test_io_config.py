@@ -31,6 +31,43 @@ def write_synthetic_carmen(path, n=5):
     path.write_text("\n".join(lines))
 
 
+def test_carmen_reader_native_parity(tmp_path):
+    """The C++ parser (native/carmen_reader.cpp) must return the same
+    record stream as the Python reference path, across all formats."""
+    p = tmp_path / "t.log"
+    write_synthetic_carmen(p, n=10)
+    beams = " ".join("5.0" for _ in range(181))
+    with p.open("a") as f:
+        f.write(
+            "\nROBOTLASER1 0 -1.5707963 3.1415927 0.0174533 30.0 0.01 0 "
+            f"181 {beams} 0 1.0 2.0 0.1 0.9 1.9 0.1 0.5 0.1 0.3 0.2 0.1 "
+            "200.5 host 200.5\n"
+            "RAWLASER1 0 -1.5707963 3.1415927 0.0174533 30.0 0.01 0 "
+            f"181 {beams} 0 201.5 host 201.5\n"
+            "garbage line that should be skipped\n"
+        )
+    try:
+        b = carmen.read_carmen_log(str(p), native=True)
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    a = carmen.read_carmen_log(str(p), native=False)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert type(ra) is type(rb)
+        if isinstance(ra, ScanData):
+            np.testing.assert_allclose(ra.ranges, rb.ranges)
+            np.testing.assert_allclose(ra.angles, rb.angles)
+            np.testing.assert_allclose(ra.odom_pose, rb.odom_pose)
+            np.testing.assert_allclose(
+                ra.relative_sensor_pose, rb.relative_sensor_pose, atol=1e-12
+            )
+            assert ra.time_stamp == rb.time_stamp
+            assert ra.max_range == rb.max_range
+        else:
+            np.testing.assert_allclose(ra.pose, rb.pose)
+            np.testing.assert_allclose(ra.velocity, rb.velocity)
+
+
 def test_carmen_reader(tmp_path):
     p = tmp_path / "test.log"
     write_synthetic_carmen(p)
