@@ -60,6 +60,14 @@ class GridMapBuilderConfig:
     probability_miss: float = 0.46
     beam_capacity: int = 512
     samples_per_beam: int = 768
+    # Incremental latest-map maintenance: cache raw per-scan log-odds
+    # deltas (axis-aligned, cell-quantized anchors) and re-fold the window
+    # instead of re-rasterizing all N scans each keyframe.  Exact up to
+    # floor-boundary cell jitter from the anchor change (see
+    # tests/test_rasterize.py::test_incremental_latest_map).
+    latest_map_incremental: bool = True
+    latest_map_shift_pad: int = 256  # max inter-scan shift in cells
+    rasterize_backend: str = "scatter"
 
     @property
     def logodds_hit(self) -> float:
@@ -128,6 +136,8 @@ class GridMapBuilder:
         self.latest_map_pose = np.zeros(3)
         self.latest_scan_id_min = 0
         self.latest_scan_id_max = 0
+        # node_id -> (pose_fingerprint, anchor_cell (2,) int64, delta [H,W])
+        self._latest_cache: dict = {}
 
     # ------------------------------------------------------------------
     def latest_local_map(self) -> LocalMap:
@@ -326,13 +336,24 @@ class GridMapBuilder:
     # ------------------------------------------------------------------
     def update_latest_map(self, pose_graph: PoseGraph):
         """Rebuild the rolling matching map from the last N scans
-        (``GridMapBuilder::UpdateLatestMap``, grid_map_builder.cpp:497-532)."""
+        (``GridMapBuilder::UpdateLatestMap``, grid_map_builder.cpp:497-532).
+
+        Incremental mode: the map is anchored axis-aligned at the first
+        window node's cell-quantized position, so each scan's raw delta
+        image (cached per node, invalidated on pose change) is reusable
+        across keyframes up to an integer cell shift; the window is then
+        re-folded sequentially (exact Bayes-clip semantics) in O(N) dense
+        ops instead of O(N) rasterizations."""
         cfg = self.cfg
         nodes = pose_graph.scan_nodes
         n = min(len(nodes), cfg.num_scans_for_latest_map)
         first = len(nodes) - n
         self.latest_scan_id_min = nodes[first].node_id
         self.latest_scan_id_max = nodes[-1].node_id
+        if cfg.latest_map_incremental and self._update_latest_incremental(
+            nodes[first:]
+        ):
+            return
         self.latest_map_pose = nodes[first].global_pose.copy()
         lo, obs, offset = self._new_raster(cfg.latest_map_rows, cfg.latest_map_cols)
         entries = [(nd.global_pose, nd.scan_data) for nd in nodes[first:]]
@@ -340,6 +361,86 @@ class GridMapBuilder:
             lo, obs, offset, self.latest_map_pose, entries
         )
         self.latest_offset = offset
+
+    def _update_latest_incremental(self, window_nodes) -> bool:
+        cfg = self.cfg
+        res = cfg.resolution
+        rows, cols = cfg.latest_map_rows, cfg.latest_map_cols
+        offset = np.array([-res * (cols // 2), -res * (rows // 2)])
+        anchor_cell = np.floor(
+            window_nodes[0].global_pose[:2] / res
+        ).astype(np.int64)
+
+        deltas, shifts = [], []
+        keep = set()
+        for nd in window_nodes:
+            keep.add(nd.node_id)
+            fp = nd.global_pose.tobytes()
+            ent = self._latest_cache.get(nd.node_id)
+            if ent is None or ent[0] != fp:
+                cell_k = np.floor(nd.global_pose[:2] / res).astype(np.int64)
+                anchor_k = np.array(
+                    [cell_k[0] * res, cell_k[1] * res, 0.0]
+                )
+                delta = self._scan_delta(anchor_k, offset, nd)
+                ent = (fp, cell_k, delta)
+                self._latest_cache[nd.node_id] = ent
+            _, cell_k, delta = ent
+            # latest[r, c] = delta[r - dr, c - dc]
+            dr = int(cell_k[1] - anchor_cell[1])
+            dc = int(cell_k[0] - anchor_cell[0])
+            if abs(dr) > cfg.latest_map_shift_pad or abs(dc) > cfg.latest_map_shift_pad:
+                return False  # window spread exceeds pad: full rebuild
+            deltas.append(delta)
+            shifts.append((dr, dc))
+        for nid in [k for k in self._latest_cache if k not in keep]:
+            del self._latest_cache[nid]
+
+        # Pad to the fixed window size so the fold compiles once
+        n_cap = cfg.num_scans_for_latest_map
+        valid = np.zeros(n_cap, bool)
+        valid[: len(deltas)] = True
+        while len(deltas) < n_cap:
+            deltas.append(deltas[0])
+            shifts.append((0, 0))
+        lo, obs = rasterize.fold_shifted_deltas(
+            jnp.stack(deltas),
+            jnp.asarray(np.array(shifts, np.int32)),
+            jnp.asarray(valid),
+            max_shift=cfg.latest_map_shift_pad,
+        )
+        self.latest_logodds, self.latest_observed = lo, obs
+        self.latest_offset = offset
+        self.latest_map_pose = np.array(
+            [anchor_cell[0] * res, anchor_cell[1] * res, 0.0]
+        )
+        return True
+
+    def _scan_delta(self, map_pose, offset, node):
+        """Raw delta image of one scan in an axis-aligned raster anchored
+        at ``map_pose`` (theta = 0)."""
+        cfg = self.cfg
+        scan = node.scan_data
+        g_sensor = P.compound(node.global_pose, scan.relative_sensor_pose)
+        l_sensor = P.inverse_compound(map_pose, g_sensor)
+        r, a, m = pad_scan(
+            scan, cfg.beam_capacity, cfg.usable_range_min, cfg.usable_range_max
+        )
+        ang = l_sensor[2] + a
+        hx = l_sensor[0] + r * np.cos(ang)
+        hy = l_sensor[1] + r * np.sin(ang)
+        return rasterize.scan_delta(
+            (cfg.latest_map_rows, cfg.latest_map_cols),
+            jnp.asarray(l_sensor[:2], jnp.float32),
+            jnp.asarray(np.stack([hx, hy], -1), jnp.float32),
+            jnp.asarray(m),
+            cfg.resolution,
+            jnp.asarray(offset, jnp.float32),
+            cfg.logodds_hit,
+            cfg.logodds_miss,
+            num_samples=cfg.samples_per_beam,
+            backend=cfg.rasterize_backend,
+        )
 
     def latest_raster(self) -> MapRaster:
         return MapRaster(

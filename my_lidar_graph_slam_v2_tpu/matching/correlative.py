@@ -92,42 +92,27 @@ def _correlative_core(
     n_valid = jnp.sum(mask).astype(jnp.float32)
     norm = 1.0 / jnp.maximum(n_valid, 1.0)
 
-    common = dict(
-        ranges=ranges,
-        angles=angles,
-        beam_mask=mask,
-        sensor_pose=sensor_pose,
-        theta0_index=theta0,
-        step_theta=step_theta,
-        theta_mask=theta_mask,
-        x0=jnp.int32(-wx),
-        y0=jnp.int32(-wy),
-        resolution=cfg.resolution,
-        offset_xy=offset_xy,
+    # Shared beam geometry + hit images: the coarse and fine sweeps use
+    # identical per-theta endpoint cells, so the (dominant) one-hot hit
+    # image build happens once.
+    hr, hc, valid, r0, c0 = csm.beam_cells(
+        ranges, angles, mask, sensor_pose, theta0, step_theta, theta_mask,
+        cfg.resolution, offset_xy,
+        n_theta=T, crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
     )
-    c_scores, c_known = csm.csm_sweep(
-        coarse_prob,
-        coarse_observed,
-        n_theta=T,
-        nx=nbx,
-        ny=nby,
-        stride=cfg.low_resolution,
-        crop_rows=cfg.crop_rows,
-        crop_cols=cfg.crop_cols,
-        precision=cfg.precision,
-        **common,
+    hit_img = csm.build_hit_images(
+        hr, hc, valid, theta_mask,
+        crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
     )
-    f_scores, f_known = csm.csm_sweep(
-        prob,
-        observed,
-        n_theta=T,
-        nx=nxf,
-        ny=nyf,
-        stride=1,
-        crop_rows=cfg.crop_rows,
-        crop_cols=cfg.crop_cols,
-        precision=cfg.precision,
-        **common,
+    x0 = jnp.int32(-wx)
+    y0 = jnp.int32(-wy)
+    c_scores, c_known = csm.sweep_from_hits(
+        hit_img, r0, c0, coarse_prob, coarse_observed, x0, y0,
+        nx=nbx, ny=nby, stride=cfg.low_resolution, precision=cfg.precision,
+    )
+    f_scores, f_known = csm.sweep_from_hits(
+        hit_img, r0, c0, prob, observed, x0, y0,
+        nx=nxf, ny=nyf, stride=1, precision=cfg.precision,
     )
 
     # Reference gating: a fine candidate is reachable iff its coarse block

@@ -81,42 +81,11 @@ def csm_sweep(
     """
     if precision not in ("fast", "split", "highest"):
         raise ValueError(f"unknown precision {precision!r}")
-    H, W = prob.shape
-    res = jnp.float32(resolution)
 
-    # --- per-(theta, beam) endpoint cells, in full-map cell coords -------
-    t_idx = theta0_index + jnp.arange(n_theta, dtype=jnp.int32)
-    thetas = sensor_pose[2] + t_idx.astype(jnp.float32) * step_theta
-    ang = thetas[:, None] + angles[None, :]  # [T, B]
-    hx = sensor_pose[0] + ranges[None, :] * jnp.cos(ang)
-    hy = sensor_pose[1] + ranges[None, :] * jnp.sin(ang)
-    col = jnp.floor((hx - offset_xy[0]) / res).astype(jnp.int32)  # [T, B]
-    row = jnp.floor((hy - offset_xy[1]) / res).astype(jnp.int32)
-
-    # --- crop anchor: cover beam bbox plus the translation window --------
-    # The crop holds the *hit image*; the conv input additionally extends by
-    # the window extent. Valid rows for the hit image: [r0, r0+crop_rows).
-    big = jnp.int32(1 << 30)
-    # Only *valid* (beam, theta) combinations participate in the bbox:
-    # padded theta indices can rotate beams far away and would otherwise
-    # drag the crop anchor off the real candidates.
-    bbox_mask = beam_mask[None, :] & theta_mask[:, None]
-    masked_row = jnp.where(bbox_mask, row, big)
-    masked_col = jnp.where(bbox_mask, col, big)
-    r_min = jnp.min(masked_row)
-    c_min = jnp.min(masked_col)
-    # Anchor a touch early so floor-rounding never clips the first beam
-    r0 = r_min - 2
-    c0 = c_min - 2
-
-    hr = row - r0  # [T, B] hit-image coords
-    hc = col - c0
-    valid = (
-        beam_mask[None, :]
-        & (hr >= 0)
-        & (hr < crop_rows)
-        & (hc >= 0)
-        & (hc < crop_cols)
+    hr, hc, valid, r0, c0 = beam_cells(
+        ranges, angles, beam_mask, sensor_pose, theta0_index, step_theta,
+        theta_mask, resolution, offset_xy,
+        n_theta=n_theta, crop_rows=crop_rows, crop_cols=crop_cols,
     )
 
     if backend == "pallas":
@@ -142,10 +111,78 @@ def csm_sweep(
             crop_rows=crop_rows, crop_cols=crop_cols,
         )
 
-    # --- one-hot hit images via batched outer-product matmul -------------
-    # One-hot operands are 0/1, and per-cell hit counts stay far below 256,
-    # so bf16 operands with f32 MXU accumulation are EXACT here — the build
-    # runs at full bf16 MXU rate regardless of the requested precision.
+    hit_img = build_hit_images(
+        hr, hc, valid, theta_mask, crop_rows=crop_rows, crop_cols=crop_cols
+    )
+    return sweep_from_hits(
+        hit_img, r0, c0, prob, observed, x0, y0,
+        nx=nx, ny=ny, stride=stride, precision=precision,
+    )
+
+
+def beam_cells(
+    ranges, angles, beam_mask, sensor_pose, theta0_index, step_theta,
+    theta_mask, resolution, offset_xy, *, n_theta, crop_rows, crop_cols,
+):
+    """Per-(theta, beam) endpoint cells in hit-image coordinates.
+
+    Returns (hr, hc, valid, r0, c0): [T, B] crop coords, validity, and the
+    crop anchor in full-map cell coordinates.
+    """
+    res = jnp.float32(resolution)
+    t_idx = theta0_index + jnp.arange(n_theta, dtype=jnp.int32)
+    thetas = sensor_pose[2] + t_idx.astype(jnp.float32) * step_theta
+    ang = thetas[:, None] + angles[None, :]  # [T, B]
+    hx = sensor_pose[0] + ranges[None, :] * jnp.cos(ang)
+    hy = sensor_pose[1] + ranges[None, :] * jnp.sin(ang)
+    col = jnp.floor((hx - offset_xy[0]) / res).astype(jnp.int32)  # [T, B]
+    row = jnp.floor((hy - offset_xy[1]) / res).astype(jnp.int32)
+
+    # Crop anchor: only *valid* (beam, theta) combinations participate in
+    # the bbox — padded theta indices can rotate beams far away and would
+    # otherwise drag the crop anchor off the real candidates.
+    big = jnp.int32(1 << 30)
+    bbox_mask = beam_mask[None, :] & theta_mask[:, None]
+    masked_row = jnp.where(bbox_mask, row, big)
+    masked_col = jnp.where(bbox_mask, col, big)
+    # Anchor a touch early so floor-rounding never clips the first beam
+    r0 = jnp.min(masked_row) - 2
+    c0 = jnp.min(masked_col) - 2
+
+    hr = row - r0  # [T, B] hit-image coords
+    hc = col - c0
+    valid = (
+        beam_mask[None, :]
+        & (hr >= 0)
+        & (hr < crop_rows)
+        & (hc >= 0)
+        & (hc < crop_cols)
+    )
+    return hr, hc, valid, r0, c0
+
+
+def build_hit_images(hr, hc, valid, theta_mask, *, crop_rows, crop_cols,
+                     backend: str = "xla"):
+    """One-hot hit images via batched outer-product matmul.
+
+    One-hot operands are 0/1, and per-cell hit counts stay far below 256,
+    so bf16 operands with f32 MXU accumulation are EXACT here — the build
+    runs at full bf16 MXU rate regardless of the requested precision.
+    Returns bf16 [T, crop_rows, crop_cols] (exact small-integer counts).
+
+    ``backend="pallas"`` uses the fused VMEM kernel (ops/csm_pallas.py),
+    which avoids materializing the [T, B, crop] one-hot operands in HBM.
+    """
+    if backend == "pallas":
+        from . import csm_pallas
+
+        ok = valid & theta_mask[:, None]
+        return csm_pallas.build_hit_images(
+            jnp.where(ok, hr, -1),
+            jnp.where(ok, hc, -1),
+            crop_rows=crop_rows,
+            crop_cols=crop_cols,
+        )
     iota_r = jnp.arange(crop_rows, dtype=jnp.int32)
     iota_c = jnp.arange(crop_cols, dtype=jnp.int32)
     onehot_r = (hr[:, :, None] == iota_r[None, None, :]) & valid[:, :, None]
@@ -156,15 +193,25 @@ def csm_sweep(
     )
     onehot_c = onehot_c.astype(jnp.bfloat16)
     # [T, crop_rows, B] @ [T, B, crop_cols] -> [T, crop_rows, crop_cols]
-    # The hit image is the dominant HBM intermediate (T * crop^2); it is
-    # kept in bf16 end-to-end (exact: small integer counts).
-    hit_img = jax.lax.dot_general(
+    return jax.lax.dot_general(
         jnp.swapaxes(onehot_r, 1, 2),
         onehot_c,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.bfloat16,
     )
 
+
+def sweep_from_hits(
+    hit_img, r0, c0, prob, observed, x0, y0,
+    *, nx, ny, stride, precision,
+):
+    """Window sweep of precomputed hit images against a map.
+
+    The hit image is the dominant HBM intermediate (T * crop^2); sharing
+    it between the coarse and fine sweeps (identical beam geometry) halves
+    the build cost — see matching/correlative.py.
+    """
+    crop_rows, crop_cols = hit_img.shape[1], hit_img.shape[2]
     # --- conv input: (prob, observed) crop shifted by the window origin --
     in_rows = crop_rows + (ny - 1) * stride
     in_cols = crop_cols + (nx - 1) * stride

@@ -29,6 +29,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _hit_image_kernel(rows_ref, cols_ref, out_ref, *, crop_rows, crop_cols):
+    """One theta per program: hit image = onehot_rows^T @ onehot_cols.
+
+    rows/cols: [1, B] i32 in crop coords, -1 for inactive (matches no
+    iota row, so the beam vanishes).  The one-hot operands only ever live
+    in VMEM/registers — this removes the [T, B, crop] HBM intermediates
+    that dominate the XLA build's runtime (~330 MB per match at T=208).
+    """
+    B = rows_ref.shape[1]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (crop_rows, B), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (crop_cols, B), 0)
+    onehot_rT = (iota_r == rows_ref[0:1, :]).astype(jnp.bfloat16)  # [CR, B]
+    onehot_cT = (iota_c == cols_ref[0:1, :]).astype(jnp.bfloat16)  # [CC, B]
+    out_ref[...] = jax.lax.dot_general(
+        onehot_rT,
+        onehot_cT,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)[None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("crop_rows", "crop_cols", "interpret")
+)
+def build_hit_images(
+    rows: jax.Array,  # [T, B] i32 crop coords, -1 for inactive
+    cols: jax.Array,  # [T, B] i32
+    *,
+    crop_rows: int,
+    crop_cols: int,
+    interpret: bool = False,
+):
+    """Pallas hit-image build: bf16 [T, crop_rows, crop_cols] counts."""
+    T, B = rows.shape
+    kernel = functools.partial(
+        _hit_image_kernel, crop_rows=crop_rows, crop_cols=crop_cols
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, crop_rows, crop_cols),
+            lambda t: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, crop_rows, crop_cols), jnp.bfloat16),
+        interpret=interpret,
+    )(rows, cols)
+
+
 def _sweep_kernel(
     rows_ref,  # [T_TILE, B] i32 (crop coords; -1 = inactive)
     cols_ref,  # [T_TILE, B] i32

@@ -89,60 +89,135 @@ def integrate_scans(
 
     def one_scan(i, carry):
         lo, obs = carry
-        s_xy = sensor_xy[i]  # [2]
-        h_xy = hits_xy[i]  # [B, 2]
-        mask = hit_mask[i]  # [B]
-
-        d = h_xy - s_xy[None, :]  # [B, 2]
-        # Sample positions along each beam, excluding the endpoint region
-        t = (jnp.arange(num_samples, dtype=jnp.float32) + 0.5) / num_samples
-        pts = s_xy[None, None, :] + d[:, None, :] * t[None, :, None]  # [B,K,2]
-        rows, cols = cell_of(pts)  # [B, K]
-        hit_r, hit_c = cell_of(h_xy)  # [B]
-
-        # One miss per traversed cell per beam: drop consecutive duplicates
-        same_as_prev = jnp.zeros(rows.shape, dtype=bool)
-        same_as_prev = same_as_prev.at[:, 1:].set(
-            (rows[:, 1:] == rows[:, :-1]) & (cols[:, 1:] == cols[:, :-1])
+        delta = _delta_impl(
+            h, w, sensor_xy[i], hits_xy[i], hit_mask[i], res, off,
+            logodds_hit, logodds_miss, num_samples, backend,
+            crop if crop is not None else max(h, w), chunk,
         )
-        is_hit_cell = (rows == hit_r[:, None]) & (cols == hit_c[:, None])
-        inside = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
-        miss_valid = (
-            mask[:, None] & ~same_as_prev & ~is_hit_cell & inside
-        )
-
-        if backend == "scatter":
-            delta = jnp.zeros((h, w), dtype=jnp.float32)
-            delta = delta.at[rows, cols].add(
-                jnp.where(miss_valid, jnp.float32(logodds_miss), 0.0),
-                mode="drop",
-            )
-        else:
-            delta = _miss_counts_matmul(
-                rows, cols, miss_valid, h, w,
-                crop if crop is not None else max(h, w), chunk,
-            ) * jnp.float32(logodds_miss)
-        hit_inside = (
-            mask & (hit_r >= 0) & (hit_r < h) & (hit_c >= 0) & (hit_c < w)
-        )
-        delta = delta.at[hit_r, hit_c].add(
-            jnp.where(hit_inside, jnp.float32(logodds_hit), 0.0),
-            mode="drop",
-        )
-
-        touched = delta != 0.0
-        # Unknown cells act as log-odds 0 (p=0.5) on first observation
-        new_lo = jnp.where(obs, lo, 0.0) + delta
-        new_lo = jnp.clip(new_lo, gv.LOGODDS_MIN, gv.LOGODDS_MAX)
-        lo = jnp.where(touched | obs, jnp.where(touched, new_lo, lo), lo)
-        obs = obs | touched
-        return lo, obs
+        return _apply_delta(lo, obs, delta)
 
     n_scans = sensor_xy.shape[0]
     logodds, observed = jax.lax.fori_loop(
         0, n_scans, one_scan, (logodds, observed)
     )
     return logodds, observed
+
+
+def _apply_delta(lo, obs, delta):
+    """One sequential Bayes step: add a scan's log-odds delta and clip —
+    the u16 codec's per-scan saturation behaviour."""
+    touched = delta != 0.0
+    # Unknown cells act as log-odds 0 (p=0.5) on first observation
+    new_lo = jnp.where(obs, lo, 0.0) + delta
+    new_lo = jnp.clip(new_lo, gv.LOGODDS_MIN, gv.LOGODDS_MAX)
+    lo = jnp.where(touched | obs, jnp.where(touched, new_lo, lo), lo)
+    obs = obs | touched
+    return lo, obs
+
+
+def _delta_impl(h, w, s_xy, h_xy, mask, res, off, logodds_hit, logodds_miss,
+                num_samples, backend, crop, chunk):
+    """Raw (pre-clip) log-odds delta image of ONE scan."""
+
+    def cell_of(p):  # p: [..., 2] -> (row, col) int32
+        rc = jnp.floor((p - off) / res).astype(jnp.int32)
+        return rc[..., 1], rc[..., 0]
+
+    d = h_xy - s_xy[None, :]  # [B, 2]
+    # Sample positions along each beam, excluding the endpoint region
+    t = (jnp.arange(num_samples, dtype=jnp.float32) + 0.5) / num_samples
+    pts = s_xy[None, None, :] + d[:, None, :] * t[None, :, None]  # [B,K,2]
+    rows, cols = cell_of(pts)  # [B, K]
+    hit_r, hit_c = cell_of(h_xy)  # [B]
+
+    # One miss per traversed cell per beam: drop consecutive duplicates
+    same_as_prev = jnp.zeros(rows.shape, dtype=bool)
+    same_as_prev = same_as_prev.at[:, 1:].set(
+        (rows[:, 1:] == rows[:, :-1]) & (cols[:, 1:] == cols[:, :-1])
+    )
+    is_hit_cell = (rows == hit_r[:, None]) & (cols == hit_c[:, None])
+    inside = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+    miss_valid = mask[:, None] & ~same_as_prev & ~is_hit_cell & inside
+
+    if backend == "scatter":
+        delta = jnp.zeros((h, w), dtype=jnp.float32)
+        delta = delta.at[rows, cols].add(
+            jnp.where(miss_valid, jnp.float32(logodds_miss), 0.0),
+            mode="drop",
+        )
+    else:
+        delta = _miss_counts_matmul(
+            rows, cols, miss_valid, h, w, crop, chunk,
+        ) * jnp.float32(logodds_miss)
+    hit_inside = (
+        mask & (hit_r >= 0) & (hit_r < h) & (hit_c >= 0) & (hit_c < w)
+    )
+    delta = delta.at[hit_r, hit_c].add(
+        jnp.where(hit_inside, jnp.float32(logodds_hit), 0.0),
+        mode="drop",
+    )
+    return delta
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "num_samples", "backend", "crop",
+                              "chunk")
+)
+def scan_delta(
+    shape,  # (H, W) static
+    sensor_xy: jax.Array,  # [2]
+    hits_xy: jax.Array,  # [B, 2]
+    hit_mask: jax.Array,  # [B]
+    resolution: float,
+    offset_xy: jax.Array,  # [2]
+    logodds_hit: float,
+    logodds_miss: float,
+    num_samples: int = DEFAULT_SAMPLES_PER_BEAM,
+    backend: str = "scatter",
+    crop: int | None = None,
+    chunk: int = 2048,
+):
+    """Raw (pre-clip) log-odds delta image of one scan — the cacheable
+    unit of the incremental latest-map maintenance (grid/builder.py):
+    ``integrate_scans`` over a window == sequential ``_apply_delta`` of the
+    per-scan deltas, so deltas can be cached per scan node and re-folded
+    in O(window) dense ops instead of re-rasterized."""
+    h, w = shape
+    return _delta_impl(
+        h, w, sensor_xy, hits_xy, hit_mask, jnp.float32(resolution),
+        offset_xy.astype(jnp.float32), logodds_hit, logodds_miss,
+        num_samples, backend, crop if crop is not None else max(h, w), chunk,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift",))
+def fold_shifted_deltas(
+    deltas: jax.Array,  # [S, H, W] raw per-scan deltas (own anchors)
+    shifts: jax.Array,  # [S, 2] i32 (dr, dc): latest[r, c] = delta[r-dr, c-dc]
+    valid: jax.Array,  # [S] bool
+    *,
+    max_shift: int,
+):
+    """Sequential Bayes fold of per-scan delta images into a fresh raster,
+    translating each delta by an integer cell shift first (the latest-map
+    and delta rasters share axis orientation; anchors are cell-quantized).
+    Shifts beyond ``max_shift`` are clipped — the caller must fall back to
+    a full rebuild in that case."""
+    S, H, W = deltas.shape
+    p = max_shift
+    lo = jnp.zeros((H, W), jnp.float32)
+    obs = jnp.zeros((H, W), bool)
+
+    def step(i, carry):
+        lo, obs = carry
+        dr = jnp.clip(shifts[i, 0], -p, p)
+        dc = jnp.clip(shifts[i, 1], -p, p)
+        padded = jnp.pad(deltas[i], ((p, p), (p, p)))
+        shifted = jax.lax.dynamic_slice(padded, (p - dr, p - dc), (H, W))
+        shifted = jnp.where(valid[i], shifted, 0.0)
+        return _apply_delta(lo, obs, shifted)
+
+    return jax.lax.fori_loop(0, S, step, (lo, obs))
 
 
 def _miss_counts_matmul(rows, cols, valid, h, w, crop, chunk):

@@ -110,3 +110,63 @@ def test_sequential_scans_accumulate():
     )
     r, c = geom.position_to_index(1.013, 0.008)
     assert np.asarray(lo)[r, c] == pytest.approx(3 * LO_HIT, abs=1e-4)
+
+
+def test_incremental_latest_map_parity():
+    """fold_shifted_deltas over cached per-scan deltas must reproduce
+    integrate_scans up to floor-boundary cell jitter (anchors differ by
+    exact cell multiples; float rounding may flip isolated boundary
+    cells)."""
+    import jax.numpy as jnp
+
+    from my_lidar_graph_slam_v2_tpu.grid import values as gv
+    from my_lidar_graph_slam_v2_tpu.ops import rasterize
+
+    rng = np.random.default_rng(7)
+    H = W = 256
+    res = 0.05
+    off = jnp.asarray(np.float32([-res * (W // 2), -res * (H // 2)]))
+    lh = float(np.log(gv.prob_to_odds(0.62)))
+    lm = float(np.log(gv.prob_to_odds(0.46)))
+
+    S, B = 5, 128
+    sensors = np.cumsum(rng.normal(0.15, 0.05, (S, 2)), 0).astype(np.float32)
+    angles = np.tile(np.linspace(-np.pi, np.pi, B), (S, 1))
+    ranges = rng.uniform(0.5, 4.0, (S, B))
+    hx = sensors[:, :1] + ranges * np.cos(angles)
+    hy = sensors[:, 1:] + ranges * np.sin(angles)
+    hits = np.stack([hx, hy], -1).astype(np.float32)
+    msk = np.ones((S, B), bool)
+
+    # Reference: direct sequential integration at the shared anchor
+    lo0 = jnp.zeros((H, W), jnp.float32)
+    obs0 = jnp.zeros((H, W), bool)
+    ref_lo, ref_obs = rasterize.integrate_scans(
+        lo0, obs0, jnp.asarray(sensors), jnp.asarray(hits), jnp.asarray(msk),
+        res, off, lh, lm, num_samples=256,
+    )
+
+    # Incremental: per-scan deltas at each scan's own quantized anchor
+    deltas, shifts = [], []
+    for k in range(S):
+        cell_k = np.floor(sensors[k] / res).astype(np.int64)
+        anchor_k = cell_k * res
+        deltas.append(rasterize.scan_delta(
+            (H, W),
+            jnp.asarray(sensors[k] - anchor_k),
+            jnp.asarray(hits[k] - anchor_k[None, :]),
+            jnp.asarray(msk[k]),
+            res, off, lh, lm, num_samples=256,
+        ))
+        shifts.append((int(cell_k[1]), int(cell_k[0])))  # anchor cell (0,0)
+    lo, obs = rasterize.fold_shifted_deltas(
+        jnp.stack(deltas), jnp.asarray(np.array(shifts, np.int32)),
+        jnp.ones(S, bool), max_shift=64,
+    )
+
+    ref_p = np.asarray(rasterize.prob_map(ref_lo, ref_obs))
+    got_p = np.asarray(rasterize.prob_map(lo, obs))
+    mismatch = np.mean(~np.isclose(ref_p, got_p, atol=1e-5))
+    assert mismatch < 0.005, mismatch
+    # observed masks nearly identical
+    assert np.mean(np.asarray(ref_obs) != np.asarray(obs)) < 0.005
