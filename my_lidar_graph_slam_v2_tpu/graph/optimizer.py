@@ -246,11 +246,19 @@ def _optimize_core(
         mp2, sp2 = step(mp, sp, lam)
         err = total(mp2, sp2)
         it2 = it + 1
+        # LM accept/reject (pose_graph_optimizer_lm.cpp:88-94): keep the
+        # step only if the error decreased, else revert and raise lambda.
+        # A NaN err (failed Cholesky at tiny lambda) compares False and is
+        # therefore rejected like any uphill step.
+        good = err < prev_err
+        mp3 = jnp.where(good, mp2, mp)
+        sp3 = jnp.where(good, sp2, sp)
+        err3 = jnp.where(good, err, prev_err)
+        lam2 = jnp.where(good, lam * 0.5, lam * 2.0)
         stop = (it2 >= cfg.num_iterations_max) | (
-            jnp.abs(prev_err - err) < cfg.error_tolerance
-        )
-        lam2 = jnp.where(err < prev_err, lam * 0.5, lam * 2.0)
-        return (mp2, sp2, err, lam2, it2, stop)
+            good & (prev_err - err < cfg.error_tolerance)
+        ) | (lam2 > 1e12)
+        return (mp3, sp3, err3, lam2, it2, stop)
 
     init_err = total(map_poses, scan_poses)
     state = (

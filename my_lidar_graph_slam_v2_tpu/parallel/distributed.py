@@ -109,11 +109,17 @@ def make_distributed_optimize(mesh: Mesh, cfg: OptimizerConfig, n_maps: int, n_s
             mp2, sp2 = mp + dpm, sp + dps
             err = _local_total_error(mp2, sp2, map_idx, scan_idx, rel, info, loss, axis)
             it2 = it + 1
+            # LM accept/reject (see graph/optimizer.py): revert uphill/NaN
+            # steps and raise lambda instead of poisoning the iterate.
+            good = err < prev_err
+            mp3 = jnp.where(good, mp2, mp)
+            sp3 = jnp.where(good, sp2, sp)
+            err3 = jnp.where(good, err, prev_err)
+            lam2 = jnp.where(good, lam * 0.5, lam * 2.0)
             stop = (it2 >= cfg.num_iterations_max) | (
-                jnp.abs(prev_err - err) < cfg.error_tolerance
-            )
-            lam2 = jnp.where(err < prev_err, lam * 0.5, lam * 2.0)
-            return (mp2, sp2, err, lam2, it2, stop)
+                good & (prev_err - err < cfg.error_tolerance)
+            ) | (lam2 > 1e12)
+            return (mp3, sp3, err3, lam2, it2, stop)
 
         init_err = _local_total_error(mp, sp, map_idx, scan_idx, rel, info, loss, axis)
         state = (mp, sp, init_err, jnp.float32(lam0), jnp.int32(0), jnp.bool_(False))

@@ -206,3 +206,31 @@ def test_robust_loss_rejects_outlier_loop():
         mp, sp, _ = opt.optimize(init_m, init_s, bad_edges)
         res[kind] = np.linalg.norm(sp[:, :2] - gt_s[:, :2], axis=1).mean()
     assert res["DCS"] < res["Squared"]
+
+
+def test_lm_rejects_uphill_and_nan_steps():
+    """A wildly inconsistent random graph (the dryrun_multichip shapes)
+    must stay finite: LM reverts uphill/NaN steps and raises lambda
+    instead of poisoning the iterate (regression: NaN at lambda=1e-4)."""
+    rng = np.random.default_rng(0)
+    M, N = 6, 24
+    map_poses = rng.normal(0, 1.0, (M, 3))
+    scan_poses = rng.normal(0, 1.0, (N, 3))
+    map_idx = np.arange(N, dtype=np.int32) % M
+    scan_idx = np.arange(N, dtype=np.int32)
+    is_loop = np.zeros(N, np.int32)
+    rel = rng.normal(0, 0.1, (N, 3)).astype(np.float32)
+    info = np.tile(np.eye(3, dtype=np.float32) * 10.0, (N, 1, 1))
+    map_idx = np.append(map_idx, [0, 1]).astype(np.int32)
+    scan_idx = np.append(scan_idx, [N - 1, N - 2]).astype(np.int32)
+    is_loop = np.append(is_loop, [1, 1]).astype(np.int32)
+    rel = np.vstack([rel, rng.normal(0, 0.1, (2, 3)).astype(np.float32)])
+    info = np.vstack(
+        [info, np.tile(np.eye(3, dtype=np.float32) * 20.0, (2, 1, 1))]
+    )
+    edges = (map_idx, scan_idx, is_loop, rel, info)
+    for solver in ("schur", "dense"):
+        opt = PoseGraphOptimizer(OptimizerConfig(solver=solver))
+        mp, sp, stats = opt.optimize(map_poses, scan_poses, edges)
+        assert np.all(np.isfinite(mp)) and np.all(np.isfinite(sp)), stats
+        assert stats["error"] <= stats["initial_error"] + 1e-6
