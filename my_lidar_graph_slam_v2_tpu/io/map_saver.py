@@ -169,3 +169,88 @@ def load_pose_graph(path: str):
             )
         )
     return pg
+
+
+def save_map_and_scan(
+    raster,
+    output_prefix: str,
+    map_pose,
+    scan_global_pose=None,
+    scan=None,
+    trajectory=None,
+):
+    """``MapSaver::SaveLocalMapAndScan`` / ``SaveLatestMapAndScan``
+    (map_saver.hpp:189-207): map PNG with the scan's hit points overlaid
+    (dark dots) in addition to the trajectory."""
+    prob = np.asarray(raster.prob)
+    img = render_map(prob)
+    H, W = prob.shape
+
+    def paint(points_local, value):
+        rows = ((points_local[:, 1] - raster.offset_xy[1]) / raster.resolution).astype(int)
+        cols = ((points_local[:, 0] - raster.offset_xy[0]) / raster.resolution).astype(int)
+        ok = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
+        img[H - 1 - rows[ok], cols[ok]] = value
+
+    from ..core import pose as P
+
+    if trajectory is not None:
+        local = np.stack([P.inverse_compound(map_pose, t) for t in trajectory])
+        paint(local, 64)
+    if scan is not None and scan_global_pose is not None:
+        sensor_g = P.compound(np.asarray(scan_global_pose),
+                              np.asarray(scan.relative_sensor_pose))
+        sensor_l = P.inverse_compound(np.asarray(map_pose), sensor_g)
+        r = np.asarray(scan.ranges)
+        a = np.asarray(scan.angles)
+        hx = sensor_l[0] + r * np.cos(sensor_l[2] + a)
+        hy = sensor_l[1] + r * np.sin(sensor_l[2] + a)
+        paint(np.stack([hx, hy], -1), 0)
+    write_png_gray(f"{output_prefix}.png", img)
+    save_map_metadata(raster, output_prefix, map_pose)
+
+
+def save_map_metadata(raster, output_prefix: str, map_pose=None):
+    prob = np.asarray(raster.prob)
+    meta = dict(
+        Map=dict(
+            Rows=int(prob.shape[0]),
+            Cols=int(prob.shape[1]),
+            Resolution=float(raster.resolution),
+            OffsetX=float(raster.offset_xy[0]),
+            OffsetY=float(raster.offset_xy[1]),
+        ),
+    )
+    if map_pose is not None:
+        meta["GlobalMapPose"] = [float(v) for v in map_pose]
+    Path(f"{output_prefix}.json").write_text(json.dumps(meta, indent=1))
+
+
+def save_local_maps(builder, pose_graph, output_prefix: str,
+                    trajectory=None, resolution=None):
+    """``MapSaver::SaveLocalMaps`` (map_saver.hpp:181-186): one PNG (+
+    metadata) per local map, named ``<prefix>.local-map-<id>``."""
+    res = resolution if resolution is not None else builder.cfg.resolution
+    ok = True
+    for lm in builder.local_maps:
+        node = pose_graph.local_map_nodes[lm.local_map_id]
+        raster = lm.raster(res)
+        prefix = f"{output_prefix}.local-map-{lm.local_map_id}"
+        save_map(raster, prefix, node.global_pose, trajectory=trajectory)
+    return ok
+
+
+def save_precomputed_maps(raster, output_prefix: str, map_pose=None,
+                          heights=(1, 2, 3, 4, 5, 6)):
+    """``MapSaver::SavePrecomputedGridMaps`` (map_saver.hpp:210-214):
+    dump the branch-and-bound coarse-map pyramid (sliding-window max at
+    window 2^h) as one PNG per height."""
+    from ..ops import pool
+
+    prob = raster.prob
+    for h in heights:
+        win = 1 << h
+        coarse = np.asarray(pool.sliding_window_max2d(prob, win))
+        img = render_map(coarse)
+        write_png_gray(f"{output_prefix}.precomp-{win}.png", img)
+    save_map_metadata(raster, f"{output_prefix}.precomp", map_pose)

@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--max-scans", type=int, default=None)
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
+    ap.add_argument("--draw-every", type=int, default=0, metavar="N",
+                    help="rewrite <output>.graph.svg every N keyframes "
+                    "(live pose-graph view, like the reference's gnuplot "
+                    "drawFrameInterval)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -68,6 +72,12 @@ def main(argv=None):
     for i, scan in enumerate(scans):
         if slam.process_scan(scan, scan.odom_pose):
             processed += 1
+            if args.draw_every and processed % args.draw_every == 0:
+                from ..io import graph_plot
+
+                graph_plot.draw_pose_graph(
+                    slam.pose_graph, f"{out_prefix}.graph.svg"
+                )
             if processed % 50 == 0:
                 print(
                     f"frame {processed} ({i+1}/{len(scans)} scans, "

@@ -185,3 +185,83 @@ def test_launcher_cli_on_synthetic_log(tmp_path):
     assert len(pg["ScanNodes"]) >= 3
     metrics = json.loads((tmp_path / "out.metric.json").read_text())
     assert "Frontend.ProcessTime" in metrics
+
+
+def test_pose_graph_svg_live_view(tmp_path):
+    """GnuplotHelper replacement (gnuplot_helper.cpp:22-77): SVG frame
+    with odometry edges black, loop edges blue, atomically replaced."""
+    import numpy as np
+
+    from my_lidar_graph_slam_v2_tpu.graph.pose_graph import (
+        CONSTRAINT_LOOP,
+        CONSTRAINT_ODOMETRY,
+        LocalMapNode,
+        PoseGraph,
+        PoseGraphEdge,
+        ScanNode,
+    )
+    from my_lidar_graph_slam_v2_tpu.io import graph_plot
+
+    pg = PoseGraph()
+    pg.local_map_nodes.append(LocalMapNode(0, np.zeros(3)))
+    for i in range(4):
+        pg.scan_nodes.append(
+            ScanNode(i, 0, np.zeros(3), np.array([i * 1.0, 0.1 * i, 0.0]))
+        )
+        pg.edges.append(
+            PoseGraphEdge(0, i, 0, CONSTRAINT_ODOMETRY,
+                          np.zeros(3), np.eye(3))
+        )
+    pg.edges.append(
+        PoseGraphEdge(0, 3, 1, CONSTRAINT_LOOP, np.zeros(3), np.eye(3))
+    )
+    out = tmp_path / "live.svg"
+    graph_plot.draw_pose_graph(pg, str(out))
+    svg = out.read_text()
+    assert svg.startswith("<svg")
+    assert graph_plot.ODOMETRY_COLOR in svg
+    assert graph_plot.LOOP_COLOR in svg
+    assert "polyline" in svg
+    # empty graph renders without error
+    assert graph_plot.pose_graph_svg(PoseGraph()).startswith("<svg")
+
+
+def test_map_saver_extended_outputs(tmp_path):
+    """SaveLocalMaps / Save*MapAndScan / SavePrecomputedGridMaps parity
+    (map_saver.hpp:181-214)."""
+    import numpy as np
+
+    from my_lidar_graph_slam_v2_tpu.datasets import synthetic
+    from my_lidar_graph_slam_v2_tpu.io import map_saver
+    from my_lidar_graph_slam_v2_tpu.pipeline.factory import create_default_slam
+
+    world = synthetic.World.office(seed=5, size=8.0)
+    traj = synthetic.loop_trajectory(size=8.0, laps=0.15, step=0.3)
+    seq = synthetic.generate(world, traj, n_beams=91, max_range=8.0, seed=5)
+    slam = create_default_slam(
+        map_rows=512, map_cols=512, beam_capacity=128,
+        samples_per_beam=160, usable_range_max=8.0,
+        n_theta_max=32, crop=256,
+    )
+    last_scan = None
+    for scan in seq.scans[:10]:
+        if slam.process_scan(scan, scan.odom_pose):
+            last_scan = scan
+    pose, raster = slam.get_latest_map()
+    trajectory = slam.get_trajectory()
+
+    out = tmp_path / "m"
+    map_saver.save_map_and_scan(
+        raster, str(out), pose,
+        scan_global_pose=trajectory[-1], scan=last_scan,
+        trajectory=trajectory,
+    )
+    assert (tmp_path / "m.png").exists() and (tmp_path / "m.json").exists()
+
+    map_saver.save_local_maps(slam.builder, slam.pose_graph, str(tmp_path / "lm"))
+    assert (tmp_path / "lm.local-map-0.png").exists()
+
+    map_saver.save_precomputed_maps(raster, str(tmp_path / "pc"), pose,
+                                    heights=(1, 3))
+    assert (tmp_path / "pc.precomp-2.png").exists()
+    assert (tmp_path / "pc.precomp-8.png").exists()
