@@ -157,3 +157,61 @@ def create_default_slam(
     )
     builder = GridMapBuilder(builder_cfg)
     return LidarGraphSlam(frontend, backend, builder)
+
+
+def create_distributed_backend(
+    mesh,
+    *,
+    resolution: float = 0.05,
+    beam_capacity: int = 512,
+    usable_range_max: float = 20.0,
+    n_theta_max: int = 208,
+    crop: int = 448,
+    score_threshold: float = 0.55,
+    known_rate_threshold: float = 0.6,
+    searcher_overrides: Optional[dict] = None,
+    optimizer_overrides: Optional[dict] = None,
+    inline: bool = True,
+):
+    """Multi-chip backend (BASELINE config #5): loop candidates fanned
+    out across the mesh (the N-device generalization of the reference's
+    2-IP-core ``LoopDetectorFPGAParallel``) and the pose-graph solve
+    distributed via the Schur-complement LM over psum collectives."""
+    from ..graph.optimizer import OptimizerConfig
+    from ..loop.detector import LoopDetectorConfig
+    from ..loop.searcher import LoopSearcherConfig, LoopSearcherNearest
+    from ..parallel.distributed import DistributedPoseGraphOptimizer
+    from ..parallel.loop_sharded import LoopDetectorShardedCorrelative
+    from .backend import LidarGraphSlamBackend
+
+    matcher_cfg = CorrelativeConfig(
+        range_x=2.5,
+        range_y=2.5,
+        range_theta=0.5,
+        resolution=resolution,
+        n_theta_max=n_theta_max,
+        crop_rows=crop,
+        crop_cols=crop,
+    )
+    final_matcher = ScanMatcherLinearSolver(
+        LinearSolverConfig(resolution=resolution)
+    )
+    detector = LoopDetectorShardedCorrelative(
+        LoopDetectorConfig(
+            score_threshold=score_threshold,
+            known_rate_threshold=known_rate_threshold,
+            beam_capacity=beam_capacity,
+            usable_range_max=usable_range_max,
+        ),
+        matcher_cfg,
+        final_matcher,
+        mesh,
+        resolution=resolution,
+    )
+    searcher = LoopSearcherNearest(
+        LoopSearcherConfig(**(searcher_overrides or {}))
+    )
+    optimizer = DistributedPoseGraphOptimizer(
+        mesh, OptimizerConfig(**(optimizer_overrides or {}))
+    )
+    return LidarGraphSlamBackend(searcher, detector, optimizer, inline=inline)
