@@ -15,7 +15,7 @@ from my_lidar_graph_slam_v2_tpu.pipeline.factory import (
 )
 
 
-def _run(backend):
+def _run(backend, *, small=False):
     world = synthetic.World.office(seed=21, size=10.0)
     traj = synthetic.loop_trajectory(size=10.0, laps=1.0, step=0.3)
     seq = synthetic.generate(
@@ -23,9 +23,11 @@ def _run(backend):
         range_noise=0.01, odom_noise=(0.05, 0.02), seed=22,
     )
     slam = create_default_slam(
-        map_rows=512, map_cols=512, beam_capacity=256,
-        samples_per_beam=256, usable_range_max=10.0,
-        n_theta_max=64, crop=320, backend=backend,
+        map_rows=384 if small else 512, map_cols=384 if small else 512,
+        beam_capacity=256,
+        samples_per_beam=192 if small else 256, usable_range_max=10.0,
+        n_theta_max=48 if small else 64, crop=256 if small else 320,
+        backend=backend,
         builder_overrides=dict(travel_dist_threshold=1.5),
     )
     gt = []
@@ -39,6 +41,21 @@ def _run(backend):
     return ate, n_loops
 
 
+def test_distributed_pipeline_smoke():
+    """Fast default-tier check: the full pipeline with the sharded backend
+    on the 8-device mesh closes the loop and lands a sane ATE."""
+    mesh = make_mesh()
+    kw = dict(
+        usable_range_max=10.0, n_theta_max=48, crop=256,
+        beam_capacity=256,
+        searcher_overrides=dict(travel_dist_threshold=3.0, node_dist_threshold=3.0),
+    )
+    ate_d, loops_d = _run(create_distributed_backend(mesh, **kw), small=True)
+    assert loops_d >= 1, "distributed detector found no loops"
+    assert ate_d < 0.25, f"distributed ATE {ate_d:.3f}"
+
+
+@pytest.mark.slow
 def test_distributed_pipeline_matches_single():
     mesh = make_mesh()
     kw = dict(

@@ -15,20 +15,20 @@ from my_lidar_graph_slam_v2_tpu.pipeline.factory import (
 @pytest.fixture(scope="module")
 def loop_run():
     world = synthetic.World.office(seed=1, size=10.0)
-    traj = synthetic.loop_trajectory(size=10.0, laps=1.15, step=0.08)
+    traj = synthetic.loop_trajectory(size=10.0, laps=1.15, step=0.16)
     seq = synthetic.generate(
-        world, traj, n_beams=181, max_range=10.0,
+        world, traj, n_beams=141, max_range=10.0,
         range_noise=0.01, odom_noise=(0.05, 0.02), seed=7,
     )
     backend = create_default_backend(
-        beam_capacity=512, usable_range_max=10.0,
-        n_theta_max=96, crop=448,
+        beam_capacity=256, usable_range_max=10.0,
+        n_theta_max=64, crop=384,
         searcher_overrides=dict(travel_dist_threshold=6.0),
     )
     slam = create_default_slam(
-        map_rows=512, map_cols=512, beam_capacity=512,
+        map_rows=512, map_cols=512, beam_capacity=256,
         samples_per_beam=320, usable_range_max=10.0,
-        n_theta_max=96, crop=320, backend=backend,
+        n_theta_max=64, crop=320, backend=backend,
     )
     slam.start_backend()
     gts = []

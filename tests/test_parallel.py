@@ -83,8 +83,8 @@ def test_sharded_loop_detector_matches_serial():
         queries.append(dict(query_node=qnode, ref_node=qnode, local_map=lm, local_map_node=mnode))
 
     mcfg = CorrelativeConfig(
-        range_x=1.5, range_y=1.5, range_theta=0.5,
-        n_theta_max=64, crop_rows=384, crop_cols=384,
+        range_x=1.0, range_y=1.0, range_theta=0.4,
+        n_theta_max=32, crop_rows=256, crop_cols=256,
     )
     dcfg = LoopDetectorConfig(
         score_threshold=0.2, known_rate_threshold=0.1,
