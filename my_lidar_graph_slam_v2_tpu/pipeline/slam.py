@@ -44,6 +44,14 @@ class LidarGraphSlam:
         self.inline_backend = backend is not None and getattr(
             backend, "inline", True
         )
+        # Optimization-in-progress protocol (mOptimizationDoneCond,
+        # lidar_graph_slam.cpp:832-860): the backend raises the flag while
+        # it rewrites node poses; the frontend blocks in
+        # wait_for_optimization() until it is lowered.
+        self._opt_cond = threading.Condition()
+        self._opt_running = False
+        self.opt_wait_count = 0  # times the frontend actually blocked
+        self.backend_thread_steps = 0  # steps run on the worker thread
 
     # ---- frontend entry ----------------------------------------------
     def process_scan(self, scan: ScanData, odom_pose: np.ndarray) -> bool:
@@ -90,9 +98,30 @@ class LidarGraphSlam:
         else:
             self._backend_notify.set()
 
+    def notify_optimization_started(self):
+        """Backend is about to optimize + rewrite poses
+        (``NotifyOptimizationStarted``)."""
+        with self._opt_cond:
+            self._opt_running = True
+
+    def notify_optimization_done(self):
+        """Pose write-back finished (``NotifyOptimizationDone``)."""
+        with self._opt_cond:
+            self._opt_running = False
+            self._opt_cond.notify_all()
+
     def wait_for_optimization(self):
-        # Inline mode: optimization completes synchronously; nothing to do.
-        pass
+        """Block the frontend while the backend rewrites node poses
+        (``WaitForOptimization``, lidar_graph_slam.cpp:832-860;
+        frontend call site lidar_graph_slam_frontend.cpp:188)."""
+        if self.inline_backend:
+            # Inline mode: optimization completes synchronously.
+            return
+        with self._opt_cond:
+            if self._opt_running:
+                self.opt_wait_count += 1
+            while self._opt_running:
+                self._opt_cond.wait()
 
     def start_backend(self):
         if self.backend is None or self.inline_backend:
@@ -103,6 +132,7 @@ class LidarGraphSlam:
                 if self._backend_notify.wait(timeout=0.05):
                     self._backend_notify.clear()
                     self.backend.run_step(self)
+                    self.backend_thread_steps += 1
 
         self._backend_thread = threading.Thread(target=worker, daemon=True)
         self._backend_thread.start()
@@ -120,6 +150,9 @@ class LidarGraphSlam:
                 self._backend_stop.set()
                 if self._backend_thread is not None:
                     self._backend_thread.join()
+                    self._backend_thread = None
+                # One final pass over the finished graph, as the reference
+                # does on shutdown (lidar_graph_slam_backend.cpp:86-89).
                 self.backend.run_step(self)
 
     # ---- snapshots for the backend -----------------------------------
