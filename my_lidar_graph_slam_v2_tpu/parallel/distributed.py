@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..graph.loss import LossFunction
 from ..graph.optimizer import OptimizerConfig, _bucket, _edge_blocks, _edge_errors_jacobians
-from .mesh import AXIS_CANDIDATES
+from .mesh import AXIS_CANDIDATES, to_global
 
 
 def _local_schur_step(
@@ -216,18 +216,45 @@ class DistributedPoseGraphOptimizer:
                 self.mesh, self.cfg, Mb, Nb
             )
         fn = self._cache[key]
-        mp2, sp2, err, lam, iters = fn(
-            jnp.asarray(mp),
-            jnp.asarray(sp),
-            jnp.asarray(mi.reshape(-1)),
-            jnp.asarray(si.reshape(-1)),
-            jnp.asarray(il.reshape(-1)),
-            jnp.asarray(rl.reshape(-1, 3)),
-            jnp.asarray(im.reshape(-1, 3, 3)),
-            jnp.asarray(p1.reshape(-1)),
-            jnp.asarray(p2.reshape(-1)),
-            jnp.float32(self.lam),
-        )
+        if jax.process_count() > 1:
+            # Multi-host: every process computed the identical edge layout
+            # (replicated host state); convert to global arrays so each
+            # process uploads only its addressable edge shards.
+            A = P(AXIS_CANDIDATES)
+            R = P()
+            args = (
+                to_global(mp, self.mesh, R),
+                to_global(sp, self.mesh, R),
+                to_global(mi.reshape(-1), self.mesh, A),
+                to_global(si.reshape(-1), self.mesh, A),
+                to_global(il.reshape(-1), self.mesh, A),
+                to_global(rl.reshape(-1, 3), self.mesh, A),
+                to_global(im.reshape(-1, 3, 3), self.mesh, A),
+                to_global(p1.reshape(-1), self.mesh, A),
+                to_global(p2.reshape(-1), self.mesh, A),
+                jnp.float32(self.lam),
+            )
+        else:
+            args = (
+                jnp.asarray(mp),
+                jnp.asarray(sp),
+                jnp.asarray(mi.reshape(-1)),
+                jnp.asarray(si.reshape(-1)),
+                jnp.asarray(il.reshape(-1)),
+                jnp.asarray(rl.reshape(-1, 3)),
+                jnp.asarray(im.reshape(-1, 3, 3)),
+                jnp.asarray(p1.reshape(-1)),
+                jnp.asarray(p2.reshape(-1)),
+                jnp.float32(self.lam),
+            )
+        mp2, sp2, err, lam, iters = fn(*args)
+        if jax.process_count() > 1:
+            # Replicated outputs are not fully addressable across
+            # processes; every local device holds a complete copy.
+            mp2, sp2, err, lam, iters = (
+                np.asarray(a.addressable_data(0))
+                for a in (mp2, sp2, err, lam, iters)
+            )
         self.lam = float(lam)
         return (
             np.asarray(mp2[:M], np.float64),

@@ -25,5 +25,16 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS_CANDIDATES,))
 
 
+def to_global(arr, mesh: Mesh, spec: PartitionSpec):
+    """Build a global jax.Array from a host-replicated numpy array.
+
+    In multi-process runs a plain numpy argument cannot be auto-sharded
+    over non-addressable devices; every process holds the full (identical)
+    value and materializes only its addressable shards."""
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m

@@ -1,0 +1,344 @@
+"""Multi-host (multi-process) distributed SLAM runtime.
+
+The reference's scaling story is "split the loop-candidate list across
+accelerators driven by host threads" with maps cached accelerator-side
+(``loop_detector_fpga_parallel.cpp:32-68``,
+``scan_matcher_correlative_fpga.cpp:254-270``).  This module generalizes
+it from 2 FPGA cores on one board to N devices across P processes/hosts
+via ``jax.distributed``:
+
+* **Replicated host state, sharded device work.**  Every process runs the
+  identical (deterministic) host-side pipeline — pose graph, grid-map
+  builder, frontend — so no host-to-host state synchronization protocol
+  is needed; all cross-host traffic is XLA collectives inside jit.
+* **Local-map ownership.**  Local map ``m`` is owned by process
+  ``m % P``.  Loop candidates are *routed to the owner*: the global
+  candidate batch is laid out so each candidate lands on one of its
+  owner's devices, and only the owner rasterizes + uploads the map crop
+  (``make_array_from_callback`` materializes addressable shards only).
+  Per-host raster H2D therefore scales ~1/P, mirroring the reference's
+  BRAM map cache keyed by ``LocalMapId``.
+* **Distributed Schur LM over the global axis.**  The pose-graph solve
+  reuses ``parallel/distributed.py``: edge shards ride ICI within a host,
+  the reduced-system psum crosses DCN once per LM iteration.
+
+Validated by ``tests/test_multihost.py``, which spawns real
+``jax.distributed`` processes on CPU (SURVEY section 4d recipe) and by
+``scripts/multihost_worker.py`` (the runnable per-process entry).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import pose as P2
+from ..matching.correlative import CorrelativeConfig, _correlative_core
+from ..ops import pool
+from .mesh import AXIS_CANDIDATES
+
+
+def init_multihost(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_device_count: Optional[int] = None,
+) -> None:
+    """Initialize the jax.distributed runtime (call once, before any other
+    backend use).  ``local_device_count`` forces N virtual CPU devices per
+    process (test/CI mode); on real TPU hosts leave it None."""
+    import os
+
+    if local_device_count is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={local_device_count}"
+            ).strip()
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh() -> Mesh:
+    """1-D candidate mesh over every device of every process.
+
+    ``jax.devices()`` orders devices by process index, so the global
+    candidate axis is contiguous per process — slot ranges map directly
+    to owners."""
+    return Mesh(np.array(jax.devices()), (AXIS_CANDIDATES,))
+
+
+def owner_of(local_map_id: int, num_processes: int) -> int:
+    """Owning process of a local map (id-range sharding by modulo)."""
+    return int(local_map_id) % num_processes
+
+
+from .mesh import to_global  # noqa: F401  (re-export; used by workers)
+
+
+def make_routed_loop_csm(mesh: Mesh, cfg: CorrelativeConfig):
+    """Sharded batched loop CSM whose outputs are all-gathered so every
+    process sees every candidate's result (host state stays replicated)."""
+
+    def single(prob, observed, ranges, angles, mask, sensor_pose, offset_xy,
+               score_thr, known_thr):
+        coarse_p = pool.sliding_window_max2d(prob, cfg.low_resolution)
+        coarse_o = pool.sliding_window_max2d(observed, cfg.low_resolution)
+        return _correlative_core(
+            cfg, prob, observed, coarse_p, coarse_o,
+            ranges, angles, mask, sensor_pose, offset_xy,
+            score_thr, known_thr,
+        )
+
+    batched = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
+
+    def body(prob, observed, ranges, angles, mask, poses, offs, s_thr, k_thr):
+        out = batched(prob, observed, ranges, angles, mask, poses, offs,
+                      s_thr, k_thr)
+        # Replicate the (small) per-candidate results to every device so
+        # each host can fetch all of them: one all_gather over DCN/ICI.
+        return tuple(
+            jax.lax.all_gather(o, AXIS_CANDIDATES, tiled=True) for o in out
+        )
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS_CANDIDATES), P(AXIS_CANDIDATES), P(AXIS_CANDIDATES),
+            P(AXIS_CANDIDATES), P(AXIS_CANDIDATES), P(AXIS_CANDIDATES),
+            P(AXIS_CANDIDATES), P(), P(),
+        ),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+        # The tiled all_gather makes every output replicated by value, but
+        # the static varying-mesh-axes check cannot infer that.
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+class MultiHostLoopDetector:
+    """Loop detector with owner-routed candidate fan-out across processes.
+
+    Same matcher core and result contract as
+    ``loop.detector.LoopDetectorCorrelative``; the candidate batch is laid
+    out so each query runs on a device of the process owning the reference
+    local map, and only that process materializes the raster."""
+
+    def __init__(self, cfg, scan_matcher_cfg: CorrelativeConfig,
+                 final_scan_matcher, mesh: Mesh, resolution: float = 0.05):
+        self.cfg = cfg
+        self.mcfg = scan_matcher_cfg
+        self.final = final_scan_matcher
+        self.mesh = mesh
+        self.resolution = resolution
+        self._fn = make_routed_loop_csm(mesh, scan_matcher_cfg)
+        self.num_processes = jax.process_count()
+        self.process_id = jax.process_index()
+        self.rasterized_map_ids: set = set()  # owner-side uploads (telemetry)
+
+    # -- candidate layout ------------------------------------------------
+    def _layout(self, queries):
+        """Assign each query a global slot on one of its owner's devices.
+
+        Returns (slots, C): ``slots[i]`` is query i's global candidate
+        index; C is the padded global batch size (P * L * k)."""
+        devs = self.mesh.devices.ravel()
+        D = devs.size
+        Pn = self.num_processes
+        L = D // Pn  # local devices per process (uniform by construction)
+        by_owner: List[List[int]] = [[] for _ in range(Pn)]
+        for i, q in enumerate(queries):
+            by_owner[owner_of(q["local_map"].local_map_id, Pn)].append(i)
+        k = max(1, max((len(b) + L - 1) // L for b in by_owner))
+        C = Pn * L * k
+        slots = np.zeros(len(queries), np.int64)
+        for p, idxs in enumerate(by_owner):
+            base = p * L * k
+            for j, i in enumerate(idxs):
+                slots[i] = base + j
+        return slots, C
+
+    def detect(self, queries) -> List[dict]:
+        from ..loop.detector import scan_to_arrays
+        from ..matching.types import ScanMatchingQuery
+
+        if not queries:
+            return []
+        slots, C = self._layout(queries)
+        slot_to_query = {int(s): q for s, q in zip(slots, queries)}
+        H = W = None
+        arrays_by_slot = {}
+        for s, q in slot_to_query.items():
+            arrays_by_slot[s] = scan_to_arrays(
+                q["query_node"].scan_data, self.cfg.beam_capacity
+            )
+
+        # Probe one raster for shapes (host-side; cheap, no upload)
+        probe = queries[0]["local_map"].raster(self.resolution)
+        H, W = probe.prob.shape
+        B = self.cfg.beam_capacity
+        sharding = NamedSharding(self.mesh, P(AXIS_CANDIDATES))
+
+        def map_cb(kind):
+            def cb(index):
+                # index[0] is the slice of candidate slots for one
+                # addressable shard; only owner slots are materialized.
+                lo, hi = index[0].start or 0, index[0].stop or C
+                blocks = []
+                for s in range(lo, hi):
+                    q = slot_to_query.get(s)
+                    if q is None:
+                        blocks.append(
+                            np.zeros((1, H, W),
+                                     np.float32 if kind == "prob" else bool)
+                        )
+                        continue
+                    raster = q["local_map"].raster(self.resolution)
+                    self.rasterized_map_ids.add(q["local_map"].local_map_id)
+                    arr = raster.prob if kind == "prob" else raster.observed
+                    blocks.append(np.asarray(arr)[None])
+                return np.concatenate(blocks, 0)
+
+            return cb
+
+        def small_cb(fill):
+            def cb(index):
+                lo, hi = index[0].start or 0, index[0].stop or C
+                blocks = []
+                for s in range(lo, hi):
+                    q = slot_to_query.get(s)
+                    blocks.append(fill(s, q)[None])
+                return np.concatenate(blocks, 0)
+
+            return cb
+
+        def fill_ranges(s, q):
+            if q is None:
+                return np.zeros(B, np.float32)
+            return np.asarray(arrays_by_slot[s].ranges, np.float32)
+
+        def fill_angles(s, q):
+            if q is None:
+                return np.zeros(B, np.float32)
+            return np.asarray(arrays_by_slot[s].angles, np.float32)
+
+        def fill_mask(s, q):
+            if q is None:
+                return np.zeros(B, bool)
+            return np.asarray(arrays_by_slot[s].mask, bool)
+
+        def fill_pose(s, q):
+            if q is None:
+                return np.zeros(3, np.float32)
+            arrays = arrays_by_slot[s]
+            map_local = P2.inverse_compound(
+                q["local_map_node"].global_pose, q["query_node"].global_pose
+            )
+            return np.asarray(
+                P2.compound(map_local, arrays.rel_sensor_pose), np.float32
+            )
+
+        def fill_off(s, q):
+            if q is None:
+                return np.zeros(2, np.float32)
+            return np.asarray(
+                q["local_map"].raster(self.resolution).offset_xy, np.float32
+            )
+
+        mk = jax.make_array_from_callback
+        prob_g = mk((C, H, W), sharding, map_cb("prob"))
+        obs_g = mk((C, H, W), sharding, map_cb("observed"))
+        rng_g = mk((C, B), sharding, small_cb(fill_ranges))
+        ang_g = mk((C, B), sharding, small_cb(fill_angles))
+        msk_g = mk((C, B), sharding, small_cb(fill_mask))
+        pos_g = mk((C, 3), sharding, small_cb(fill_pose))
+        off_g = mk((C, 2), sharding, small_cb(fill_off))
+
+        out = self._fn(
+            prob_g, obs_g, rng_g, ang_g, msk_g, pos_g, off_g,
+            jnp.float32(self.cfg.score_threshold),
+            jnp.float32(self.cfg.known_rate_threshold),
+        )
+        # Replicated outputs: every local device holds a full copy, but the
+        # global array is not fully addressable in multi-process runs.
+        best_pose, score, known, found, ncost, cov = (
+            np.asarray(o.addressable_data(0)) for o in out
+        )
+
+        results = []
+        for s, q in sorted(slot_to_query.items()):
+            if not found[s]:
+                continue
+            arrays = arrays_by_slot[s]
+            raster = q["local_map"].raster(self.resolution)
+            est_robot = P2.move_backward(
+                np.asarray(best_pose[s], np.float64), arrays.rel_sensor_pose
+            )
+            final = self.final.optimize_pose(
+                ScanMatchingQuery(raster, arrays, est_robot)
+            )
+            results.append(
+                dict(
+                    relative_pose=final.estimated_pose,
+                    local_map_id=q["local_map"].local_map_id,
+                    scan_node_id=q["query_node"].node_id,
+                    covariance=final.covariance,
+                    score=float(score[s]),
+                )
+            )
+        return results
+
+
+def create_multihost_backend(
+    mesh: Mesh,
+    *,
+    resolution: float = 0.05,
+    beam_capacity: int = 512,
+    usable_range_max: float = 20.0,
+    n_theta_max: int = 208,
+    crop: int = 448,
+    score_threshold: float = 0.55,
+    known_rate_threshold: float = 0.6,
+    searcher_overrides: Optional[dict] = None,
+    optimizer_overrides: Optional[dict] = None,
+    inline: bool = True,
+):
+    """Backend with owner-routed multi-host loop detection + distributed
+    Schur LM (the multi-host generalization of
+    ``factory.create_distributed_backend``)."""
+    from ..graph.optimizer import OptimizerConfig
+    from ..loop.detector import LoopDetectorConfig
+    from ..loop.searcher import LoopSearcherConfig, LoopSearcherNearest
+    from ..matching.linear_solver import LinearSolverConfig, ScanMatcherLinearSolver
+    from ..pipeline.backend import LidarGraphSlamBackend
+    from .distributed import DistributedPoseGraphOptimizer
+
+    searcher = LoopSearcherNearest(
+        LoopSearcherConfig(**(searcher_overrides or {}))
+    )
+    mcfg = CorrelativeConfig(
+        resolution=resolution,
+        range_x=2.5, range_y=2.5, range_theta=0.5,
+        n_theta_max=n_theta_max, crop_rows=crop, crop_cols=crop,
+    )
+    dcfg = LoopDetectorConfig(
+        score_threshold=score_threshold,
+        known_rate_threshold=known_rate_threshold,
+        beam_capacity=beam_capacity,
+        usable_range_max=usable_range_max,
+    )
+    final = ScanMatcherLinearSolver(LinearSolverConfig(resolution=resolution))
+    detector = MultiHostLoopDetector(dcfg, mcfg, final, mesh, resolution)
+    optimizer = DistributedPoseGraphOptimizer(
+        mesh, OptimizerConfig(**(optimizer_overrides or {}))
+    )
+    return LidarGraphSlamBackend(searcher, detector, optimizer, inline=inline)

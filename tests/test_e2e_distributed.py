@@ -17,7 +17,7 @@ from my_lidar_graph_slam_v2_tpu.pipeline.factory import (
 
 def _run(backend, *, small=False):
     world = synthetic.World.office(seed=21, size=10.0)
-    traj = synthetic.loop_trajectory(size=10.0, laps=1.0, step=0.3)
+    traj = synthetic.loop_trajectory(size=10.0, laps=1.25, step=0.3)
     seq = synthetic.generate(
         world, traj, n_beams=121, max_range=10.0,
         range_noise=0.01, odom_noise=(0.05, 0.02), seed=22,
@@ -48,11 +48,11 @@ def test_distributed_pipeline_smoke():
     kw = dict(
         usable_range_max=10.0, n_theta_max=48, crop=256,
         beam_capacity=256,
-        searcher_overrides=dict(travel_dist_threshold=3.0, node_dist_threshold=3.0),
+        searcher_overrides=dict(travel_dist_threshold=10.0, node_dist_threshold=5.0),
     )
     ate_d, loops_d = _run(create_distributed_backend(mesh, **kw), small=True)
     assert loops_d >= 1, "distributed detector found no loops"
-    assert ate_d < 0.25, f"distributed ATE {ate_d:.3f}"
+    assert ate_d < 0.12, f"distributed ATE {ate_d:.3f}"
 
 
 @pytest.mark.slow
@@ -61,11 +61,11 @@ def test_distributed_pipeline_matches_single():
     kw = dict(
         usable_range_max=10.0, n_theta_max=64, crop=320,
         beam_capacity=256,
-        searcher_overrides=dict(travel_dist_threshold=3.0, node_dist_threshold=3.0),
+        searcher_overrides=dict(travel_dist_threshold=10.0, node_dist_threshold=5.0),
     )
     ate_s, loops_s = _run(create_default_backend(**kw))
     ate_d, loops_d = _run(create_distributed_backend(mesh, **kw))
     assert loops_d >= 1, "distributed detector found no loops"
-    assert ate_d < 0.25, f"distributed ATE {ate_d:.3f}"
+    assert ate_d < 0.12, f"distributed ATE {ate_d:.3f}"
     # same detector core -> comparable closure quality
     assert ate_d == pytest.approx(ate_s, abs=0.05)
