@@ -12,13 +12,17 @@ SLAM system from it; defaults mirror the reference's defaults.
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 from typing import Any, Dict, Optional
 
 
 def _get(settings: Dict, path: str, default=None):
+    """Path lookup with both '.' (boost ptree, used by the reference's
+    config-group indirection strings like
+    ``"PoseGraphOptimizerLM.LossHuber"``) and '/' separators."""
     node: Any = settings
-    for part in path.strip("/").split("/"):
+    for part in re.split(r"[/.]", path.strip("/")):
         if not isinstance(node, dict) or part not in node:
             return default
         node = node[part]
@@ -129,6 +133,7 @@ def create_slam_from_settings(
     crop: int = 384,
     loop_crop: int = 448,
     inline_backend: bool = True,
+    fuse_matchers: bool = True,
 ):
     """``CreateLidarGraphSlam`` (slam_module_factory.cpp:214-244)."""
     import numpy as np
@@ -188,10 +193,44 @@ def create_slam_from_settings(
         settings, "Frontend/LocalSlam/FinalScanMatcherConfigGroup",
         "Frontend/LocalSlam/FinalScanMatcherLinearSolver",
     )
-    scan_matcher = create_scan_matcher_from_group(
-        settings, sm_type, sm_group,
-        resolution=res, n_theta_max=n_theta_max, crop=crop,
-    )
+    if fuse_matchers and sm_type == "RealTimeCorrelative" \
+            and fsm_type == "LinearSolver":
+        # The reference's default two-stage frontend match (correlative
+        # search + linear-solver refinement, lidar_graph_slam_frontend.cpp:
+        # 210-237) compiles into ONE device dispatch — same ops, same
+        # results, one host round trip instead of two (the TPU analog of
+        # the FPGA matcher's single-offload contract,
+        # scan_matcher_correlative_fpga.cpp:272-364).
+        from ..matching.correlative import CorrelativeConfig
+        from ..matching.linear_solver import LinearSolverConfig
+        from ..models.fused_matcher import FusedCorrelativeGNMatcher
+
+        g = _get(settings, sm_group, {}) or {}
+        fg = _get(settings, fsm_group, {}) or {}
+        scan_matcher = FusedCorrelativeGNMatcher(
+            CorrelativeConfig(
+                low_resolution=int(g.get("LowResolutionMapWinSize", 5)),
+                range_x=float(g.get("SearchRangeX", 0.25)),
+                range_y=float(g.get("SearchRangeY", 0.25)),
+                range_theta=float(g.get("SearchRangeTheta", 0.5)),
+                resolution=res,
+                n_theta_max=n_theta_max,
+                crop_rows=crop,
+                crop_cols=crop,
+            ),
+            LinearSolverConfig(
+                num_iterations_max=int(fg.get("NumOfIterationsMax", 10)),
+                convergence_threshold=float(
+                    fg.get("ConvergenceThreshold", 1e-4)),
+                initial_lambda=float(fg.get("InitialLambda", 1e-4)),
+                resolution=res,
+            ),
+        )
+    else:
+        scan_matcher = create_scan_matcher_from_group(
+            settings, sm_type, sm_group,
+            resolution=res, n_theta_max=n_theta_max, crop=crop,
+        )
     final_matcher = create_scan_matcher_from_group(
         settings, fsm_type, fsm_group,
         resolution=res, n_theta_max=n_theta_max, crop=crop,

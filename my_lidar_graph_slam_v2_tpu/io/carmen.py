@@ -20,6 +20,47 @@ _RAW_LASER_IDS = {"RAWLASER1", "RAWLASER2", "RAWLASER3", "RAWLASER4"}
 _ROBOT_LASER_IDS = {"ROBOTLASER1", "ROBOTLASER2"}
 
 
+def write_carmen_log(scans: List[ScanData], path: str) -> None:
+    """Write ScanData records as an old-format (FLASER) Carmen log.
+
+    The FLASER record layout is the one both this reader and the
+    reference's ``CarmenLogReader::ReadOldLaserData``
+    (carmen_reader.cpp:320-397) parse identically:
+
+        FLASER n r1..rn laser_x laser_y laser_theta
+               robot_x robot_y robot_theta ipc_ts host logger_ts
+
+    Laser geometry rides on PARAM lines (``Laser.MinRange`` etc.), exactly
+    the fallback chain the reference reads, so a synthetic sequence can be
+    fed to the reference ``slam_launch`` binary for head-to-head runs.
+    Requires uniformly spaced beam angles (true for all our generators).
+    """
+    if not scans:
+        raise ValueError("no scans to write")
+    first = scans[0]
+    inc = float(first.angles[1] - first.angles[0]) if len(first.angles) > 1 \
+        else _guess_angle_increment(len(first.angles))
+    with open(path, "w") as f:
+        f.write("# synthetic log exported by my_lidar_graph_slam_v2_tpu\n")
+        f.write(f"PARAM Laser.MinRange {first.min_range:.6f}\n")
+        f.write(f"PARAM Laser.MaxRange {first.max_range:.6f}\n")
+        f.write(f"PARAM Laser.AngleIncrement {inc:.12f}\n")
+        f.write(f"PARAM Laser.MinAngle {float(first.angles[0]):.12f}\n")
+        f.write(
+            f"PARAM Laser.MaxAngle "
+            f"{float(first.angles[0]) + inc * len(first.angles):.12f}\n")
+        for scan in scans:
+            robot = np.asarray(scan.odom_pose, np.float64)
+            laser = P.compound(robot, scan.relative_sensor_pose)
+            parts = ["FLASER", str(len(scan.ranges))]
+            parts += [f"{r:.6f}" for r in np.asarray(scan.ranges)]
+            parts += [f"{v:.9f}" for v in laser]
+            parts += [f"{v:.9f}" for v in robot]
+            parts += [f"{scan.time_stamp:.6f}", "synth",
+                      f"{scan.time_stamp:.6f}"]
+            f.write(" ".join(parts) + "\n")
+
+
 def _guess_angle_range(n: int) -> float:
     # carmen_reader.cpp:466-487
     if n == 181:

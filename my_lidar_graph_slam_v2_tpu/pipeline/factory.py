@@ -18,10 +18,6 @@ from ..sensor.filters import ScanAccumulator, ScanInterpolator, ScanOutlierFilte
 from .frontend import FrontendConfig, LidarGraphSlamFrontend
 from .slam import LidarGraphSlam
 
-SCAN_MATCHERS = {}
-FINAL_SCAN_MATCHERS = {}
-
-
 def create_scan_matcher(type_name: str, **kw):
     if type_name == "RealTimeCorrelative":
         return ScanMatcherCorrelative(CorrelativeConfig(**kw))
@@ -104,7 +100,7 @@ def create_default_slam(
     n_theta_max: int = 208,
     crop: int = 384,
     backend=None,
-    fused_matcher: bool = False,
+    fused_matcher: bool = True,
     frontend_overrides: Optional[dict] = None,
     builder_overrides: Optional[dict] = None,
     matcher_overrides: Optional[dict] = None,

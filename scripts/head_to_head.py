@@ -1,0 +1,297 @@
+"""Head-to-head validation: our TPU-native engine vs the reference C++ binary.
+
+The reference implementation (/root/reference) is compiled out-of-tree by
+``refbuild/Makefile`` (thin shims replace Boost/g2o; see refbuild/). Both
+engines then consume the *same* Carmen log — exported from our synthetic
+worlds by ``io.carmen.write_carmen_log`` — with the *same* settings file
+(the reference's ``launcher_settings_default.json`` with the LM optimizer
+selected, since the g2o shim is compile-only).
+
+Per log this script reports, for each engine:
+  keyframe count, loop-edge count, ATE (SE(2)-aligned RMSE vs ground truth)
+plus a pose-graph optimizer cross-check: our optimizer's robust total error
+evaluated on the reference's *final* (post-optimization) graph must match the
+reference's own recorded FinalError (metric JSON), and re-optimizing that
+graph with our LM must not find a significantly lower optimum.
+
+Reference entry points being validated against:
+  slam_launcher.cpp:205-360 (pipeline), pose_graph_optimizer_lm.cpp:38-106
+  (optimizer contract), experiments_old.md:80-225 (the reference's own
+  sw-vs-hw methodology that this harness mirrors).
+
+Usage:  python scripts/head_to_head.py [--seeds 3 7] [--laps 1.15]
+                                       [--workdir h2h] [--keep]
+Writes <workdir>/results_h2h.json and PARITY_H2H.md at the repo root.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+DT = 0.1  # synthetic scan period; keyframes are matched to gt by timestamp
+
+
+def ensure_reference_binary() -> Path:
+    binary = REPO / "refbuild" / "slam_launch"
+    if not binary.exists():
+        print("building reference binary (refbuild/Makefile)...")
+        subprocess.run(["make", "-j", str(os.cpu_count() or 4)],
+                       cwd=REPO / "refbuild", check=True,
+                       capture_output=True)
+    return binary
+
+
+def write_settings(workdir: Path) -> tuple[Path, Path]:
+    settings = json.load(open("/root/reference/launcher_settings_default.json"))
+    # The g2o shim is compile-only: select the reference's own LM optimizer
+    settings["Backend"]["PoseGraphOptimizerType"] = "LM"
+    settings["Backend"]["PoseGraphOptimizerConfigGroup"] = "PoseGraphOptimizerLM"
+    settings["Launcher"]["GuiEnabled"] = "false"
+    settings_path = workdir / "settings_lm.json"
+    json.dump(settings, open(settings_path, "w"), indent=2)
+    client_path = workdir / "client_disabled.json"
+    json.dump({"Enabled": "false",
+               "Server": {"Address": "127.0.0.1", "Port": "6000"}},
+              open(client_path, "w"), indent=2)
+    return settings_path, client_path
+
+
+def make_log(workdir: Path, seed: int, laps: float) -> tuple[Path, Path]:
+    from my_lidar_graph_slam_v2_tpu.datasets import synthetic as S
+    from my_lidar_graph_slam_v2_tpu.io.carmen import write_carmen_log
+
+    world = S.World.office(seed=seed)
+    traj = S.loop_trajectory(laps=laps, step=0.08)
+    seq = S.generate(world, traj, seed=seed, dt=DT)
+    log_path = workdir / f"synth{seed}.clf"
+    gt_path = workdir / f"synth{seed}_gt.npy"
+    write_carmen_log(seq.scans, str(log_path))
+    np.save(gt_path, seq.ground_truth)
+    return log_path, gt_path
+
+
+def parse_posegraph(path: Path):
+    """Handle both pose-graph JSON dialects: the reference's (dict keyed by
+    id, space-separated pose strings; map_saver.cpp:205-265) and ours
+    (lists with numeric arrays)."""
+    pg = json.load(open(path))
+    nodes = []  # (timestamp, pose[3])
+    sn = pg["ScanNodes"]
+    items = sn.values() if isinstance(sn, dict) else sn
+    for nd in items:
+        gp = nd["GlobalPose"]
+        pose = [float(v) for v in gp.split()] if isinstance(gp, str) else gp
+        nodes.append((float(nd["TimeStamp"]), pose))
+    nodes.sort(key=lambda n: n[0])
+    loops = sum(1 for e in pg["Edges"]
+                if str(e["ConstraintType"]).lower() in ("1", "loop"))
+    return np.array([n[0] for n in nodes]), \
+        np.array([n[1] for n in nodes]), loops
+
+
+def evaluate(pg_path: Path, gt: np.ndarray):
+    from my_lidar_graph_slam_v2_tpu.datasets.synthetic import ate_rmse
+
+    ts, poses, loops = parse_posegraph(pg_path)
+    idx = np.round(ts / DT).astype(int)
+    return dict(
+        nodes=len(poses),
+        loop_edges=int(loops),
+        ate_m=float(ate_rmse(poses, gt[idx])),
+    )
+
+
+def run_reference(binary, log_path, settings, client, out_prefix) -> float:
+    t0 = time.time()
+    subprocess.run(
+        [str(binary), str(log_path), str(settings), str(client),
+         str(out_prefix)],
+        check=True, capture_output=True, cwd=out_prefix.parent)
+    return time.time() - t0
+
+
+def run_ours(log_path, settings, out_prefix) -> float:
+    env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+    t0 = time.time()
+    subprocess.run(
+        [sys.executable, "-m", "my_lidar_graph_slam_v2_tpu.pipeline.launcher",
+         str(log_path), str(settings), str(out_prefix), "--platform", "cpu"],
+        check=True, capture_output=True, env=env, cwd=out_prefix.parent)
+    return time.time() - t0
+
+
+def optimizer_cross_check(ref_pg_path: Path, ref_metric_path: Path):
+    """Evaluate our robust total error on the reference's final graph and
+    compare with the reference's own recorded FinalError; then re-optimize
+    with our LM and verify no significantly lower optimum exists.
+    Runs in a f64 subprocess so 1e9-information anchor edges are exact."""
+    script = r"""
+import json, sys
+import numpy as np
+import jax
+# this environment preloads jax and ignores JAX_PLATFORMS set via env
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, %r)
+from my_lidar_graph_slam_v2_tpu.graph.optimizer import (
+    _edge_errors_jacobians, OptimizerConfig, PoseGraphOptimizer)
+from my_lidar_graph_slam_v2_tpu.graph.loss import LossFunction
+
+pg = json.load(open(%r))
+lm = {int(k): [float(v) for v in nd["GlobalPose"].split()]
+      for k, nd in pg["LocalMapNodes"].items()}
+sn = {int(k): [float(v) for v in nd["GlobalPose"].split()]
+      for k, nd in pg["ScanNodes"].items()}
+map_poses = np.array([lm[k] for k in sorted(lm)])
+scan_poses = np.array([sn[k] for k in sorted(sn)])
+mi, si, il, rel, info = [], [], [], [], []
+for e in pg["Edges"]:
+    mi.append(int(e["LocalMapNodeId"])); si.append(int(e["ScanNodeId"]))
+    il.append(int(e["ConstraintType"]))
+    rel.append([float(v) for v in e["RelativePose"].split()])
+    vals = [float(v) for v in e["InformationMatrix"].split()]
+    if len(vals) == 6:
+        # map_saver.cpp:220-232 stores the upper triangle row-major
+        im = np.zeros((3, 3))
+        im[np.triu_indices(3)] = vals
+        im = im + np.triu(im, 1).T
+    else:
+        im = np.array(vals).reshape(3, 3)
+    info.append(im)
+mi = np.array(mi, np.int32); si = np.array(si, np.int32)
+il = np.array(il, np.int32)
+rel = np.array(rel); info = np.array(info)
+
+loss = LossFunction()  # Huber scale 0.01 (reference default)
+import jax.numpy as jnp
+
+def robust_total_error(mp, sp):
+    # exact f64 restatement of ComputeTotalError
+    # (pose_graph_optimizer_lm.cpp:418-452), unclipped information
+    e, _, _ = _edge_errors_jacobians(
+        jnp.array(mp), jnp.array(sp), mi, si, jnp.array(rel))
+    chi2 = jnp.einsum("ei,eij,ej->e", e, jnp.array(info), e)
+    return float(jnp.sum(loss.loss(chi2)))
+
+our_error_on_ref_solution = robust_total_error(map_poses, scan_poses)
+
+m = json.load(open(%r))
+ref_final = float(m["ValueSequences"]["PoseGraphOptimizerLM"]
+                  ["FinalError"]["Values"].split()[-1])
+
+# Re-optimize the reference's final graph with OUR production LM (f32,
+# info clip, Schur solver) and measure the resulting error in f64
+opt = PoseGraphOptimizer(OptimizerConfig())
+mp2, sp2, stats = opt.optimize(map_poses, scan_poses, (mi, si, il, rel, info))
+print(json.dumps(dict(
+    our_error_on_ref_solution=our_error_on_ref_solution,
+    ref_final_error=ref_final,
+    our_reoptimized_error=robust_total_error(mp2, sp2),
+)))
+""" % (str(REPO), str(ref_pg_path), str(ref_metric_path))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", script], check=True,
+                         capture_output=True, text=True, env=env)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[3, 7])
+    ap.add_argument("--laps", type=float, default=1.15)
+    ap.add_argument("--workdir", default=str(REPO / "h2h"))
+    ap.add_argument("--report", default=str(REPO / "PARITY_H2H.md"))
+    args = ap.parse_args(argv)
+
+    workdir = Path(args.workdir)
+    workdir.mkdir(exist_ok=True)
+    binary = ensure_reference_binary()
+    settings, client = write_settings(workdir)
+
+    results = []
+    for seed in args.seeds:
+        print(f"--- seed {seed} ---")
+        log_path, gt_path = make_log(workdir, seed, args.laps)
+        gt = np.load(gt_path)
+
+        ref_prefix = workdir / f"ref_synth{seed}"
+        t_ref = run_reference(binary, log_path, settings, client, ref_prefix)
+        ref = evaluate(Path(f"{ref_prefix}.posegraph.json"), gt)
+        ref["wall_s"] = round(t_ref, 2)
+
+        tpu_prefix = workdir / f"tpu_synth{seed}"
+        t_tpu = run_ours(log_path, settings, tpu_prefix)
+        tpu = evaluate(Path(f"{tpu_prefix}.posegraph.json"), gt)
+        tpu["wall_s"] = round(t_tpu, 2)
+
+        xcheck = optimizer_cross_check(
+            Path(f"{ref_prefix}.posegraph.json"),
+            Path(f"{ref_prefix}.metric.json"))
+
+        print(f"  reference: {ref}")
+        print(f"  ours:      {tpu}")
+        print(f"  optimizer x-check: {xcheck}")
+        results.append(dict(seed=seed, reference=ref, ours=tpu,
+                            optimizer_cross_check=xcheck))
+
+    out = dict(
+        description="head-to-head: reference C++ binary (refbuild) vs "
+                    "TPU-native engine, same Carmen logs, same settings "
+                    "(LM optimizer)",
+        settings="launcher_settings_default.json + PoseGraphOptimizerType=LM",
+        results=results,
+    )
+    json.dump(out, open(workdir / "results_h2h.json", "w"), indent=2)
+
+    lines = [
+        "# PARITY_H2H — head-to-head vs the reference C++ binary",
+        "",
+        "The reference (`/root/reference`) compiled via `refbuild/` (thin",
+        "Boost/g2o shims, full Eigen; its own LM optimizer selected) and run",
+        "on Carmen logs exported from our synthetic worlds"
+        " (`scripts/head_to_head.py`).",
+        "Both engines consume the identical log and the identical",
+        "`launcher_settings_default.json`-derived settings file.",
+        "",
+        "| seed | engine | keyframes | loop edges | ATE (m) | wall (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        for name, d in (("reference C++", r["reference"]),
+                        ("ours (TPU-native, CPU run)", r["ours"])):
+            lines.append(
+                f"| {r['seed']} | {name} | {d['nodes']} | {d['loop_edges']} "
+                f"| {d['ate_m']:.4f} | {d['wall_s']} |")
+    lines += ["", "## Optimizer cross-check", ""]
+    lines += ["Our robust total error evaluated on the reference's final",
+              "graph vs the reference's own recorded FinalError"
+              " (must match),",
+              "and our LM re-optimization of that graph (must not descend"
+              " much further):", ""]
+    lines.append("| seed | ours on ref solution | ref FinalError |"
+                 " ours re-optimized |")
+    lines.append("|---|---|---|---|")
+    for r in results:
+        x = r["optimizer_cross_check"]
+        lines.append(
+            f"| {r['seed']} | {x['our_error_on_ref_solution']:.6f} "
+            f"| {x['ref_final_error']:.6f} "
+            f"| {x['our_reoptimized_error']:.6f} |")
+    lines.append("")
+    Path(args.report).write_text("\n".join(lines))
+    print(f"wrote {workdir/'results_h2h.json'} and {args.report}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -137,16 +137,18 @@ def test_settings_factory_default(tmp_path):
     slam = create_slam_from_settings(
         settings, map_rows=256, map_cols=256, n_theta_max=64, crop=256
     )
-    from my_lidar_graph_slam_v2_tpu.matching.correlative import (
-        ScanMatcherCorrelative,
-    )
     from my_lidar_graph_slam_v2_tpu.matching.linear_solver import (
         ScanMatcherLinearSolver,
     )
+    from my_lidar_graph_slam_v2_tpu.models.fused_matcher import (
+        FusedCorrelativeGNMatcher,
+    )
 
-    assert isinstance(slam.frontend.scan_matcher, ScanMatcherCorrelative)
+    # The default correlative+linear-solver combo fuses into one dispatch
+    assert isinstance(slam.frontend.scan_matcher, FusedCorrelativeGNMatcher)
     assert isinstance(slam.frontend.final_scan_matcher, ScanMatcherLinearSolver)
-    assert slam.frontend.scan_matcher.cfg.range_x == pytest.approx(0.25)
+    assert slam.frontend.scan_matcher.lcfg.num_iterations_max == 10
+    assert slam.frontend.scan_matcher.ccfg.range_x == pytest.approx(0.25)
     assert slam.builder.cfg.probability_hit == pytest.approx(0.62)
     # loop detector window from the default settings (2.5 m)
     assert slam.backend.loop_detector.scan_matcher.cfg.range_x == pytest.approx(2.5)
