@@ -3,11 +3,16 @@
 Re-implements the reference's observability subsystem
 (``metric/metric.hpp:60-901``): a process-wide ``MetricManager`` registry
 of named metrics, the dominant per-frame ``ValueSequence`` type, and a
-``Timer`` convenience.  ``to_dict()`` mirrors the property-tree JSON
-export written to ``<output>.metric.json``
-(``slam_launcher.cpp:171-181``): Counter/Gauge -> {"Value"}, Distribution
--> {NumOfSamples, Sum, Mean, StandardDeviation, Maximum, Minimum},
-Histogram -> bucket arrays, ValueSequence -> {NumOfValues, Values}.
+``Timer`` convenience.  ``to_dict()`` emits the reference's sectioned
+property-tree layout (``metric/metric.hpp:646-686`` ToPropertyTree +
+``slam_launcher.cpp:171-181``): top-level ``Counters`` / ``Gauges`` /
+``Distributions`` / ``Histograms`` / ``ValueSequences`` sections keyed by
+flat dotted metric names, Counter/Gauge -> {"Value"}, ValueSequence ->
+{"NumOfSamples", "Values" (space-separated)} — so a reference-vs-ours
+metric JSON can be diffed mechanically (scripts/metric_diff.py).
+
+Times are recorded in microseconds (integer), matching the reference's
+boost cpu_timer wall-ns / 1000 convention.
 """
 from __future__ import annotations
 
