@@ -367,12 +367,27 @@ class PoseGraphOptimizer:
             jnp.float32(self.lam),
         )
         self.lam = float(lam)
+        stats = dict(
+            iterations=int(iters),
+            error=float(err),
+            initial_error=float(init_err),
+        )
+        self._observe_metrics(M, N, E, stats)
         return (
             np.asarray(mp2[:M], np.float64),
             np.asarray(sp2[:N], np.float64),
-            dict(
-                iterations=int(iters),
-                error=float(err),
-                initial_error=float(init_err),
-            ),
+            stats,
         )
+
+    def _observe_metrics(self, n_maps, n_scans, n_edges, stats):
+        """Parity series with ``pose_graph_optimizer_lm.cpp:17-35``."""
+        from ..metrics.registry import MetricManager
+
+        m = MetricManager.instance()
+        pre = "PoseGraphOptimizerLM."
+        m.value_sequence(pre + "NumOfIterations").observe(stats["iterations"])
+        m.value_sequence(pre + "InitialError").observe(stats["initial_error"])
+        m.value_sequence(pre + "FinalError").observe(stats["error"])
+        m.value_sequence(pre + "NumOfLocalMapNodes").observe(n_maps)
+        m.value_sequence(pre + "NumOfScanNodes").observe(n_scans)
+        m.value_sequence(pre + "NumOfEdges").observe(n_edges)

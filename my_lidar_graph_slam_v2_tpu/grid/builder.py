@@ -125,7 +125,21 @@ def pad_scan(scan: ScanData, capacity: int, usable_min: float, usable_max: float
 
 class GridMapBuilder:
     def __init__(self, cfg: GridMapBuilderConfig):
+        from ..metrics.registry import MetricManager
+
         self.cfg = cfg
+        vs = MetricManager.instance().value_sequence
+        # Parity series with grid_map_builder.cpp:20-52; times in us,
+        # memory in bytes (device raster bytes: f32 log-odds + bool mask).
+        self._m_pg_update_time = vs("GridMapBuilder.PoseGraphUpdateTime")
+        self._m_lm_update_time = vs("GridMapBuilder.LocalMapUpdateTime")
+        self._m_latest_update_time = vs("GridMapBuilder.LatestMapUpdateTime")
+        self._m_lm_interval_dist = vs("GridMapBuilder.LocalMapIntervalTravelDist")
+        self._m_num_local_maps = vs("GridMapBuilder.NumOfLocalMapNodes")
+        self._m_num_edges = vs("GridMapBuilder.NumOfEdges")
+        self._m_lm_memory = vs("GridMapBuilder.LocalMapMemoryUsage")
+        self._m_latest_memory = vs("GridMapBuilder.LatestMapMemoryUsage")
+        self._m_pg_memory = vs("GridMapBuilder.PoseGraphMemoryUsage")
         self.local_maps: List[LocalMap] = []
         self.accum_travel_dist = 0.0
         self.travel_dist_last_local_map = 0.0
@@ -154,10 +168,24 @@ class GridMapBuilder:
         scan_pose_covariance: np.ndarray,
         scan_data: ScanData,
     ) -> bool:
+        import time as _time
+
+        t = _time.perf_counter()
         inserted = self._update_pose_graph(
             pose_graph, relative_scan_pose, scan_pose_covariance, scan_data
         )
+        self._m_pg_update_time.observe(int((_time.perf_counter() - t) * 1e6))
+        t = _time.perf_counter()
         self._update_grid_map(pose_graph)
+        self._m_lm_update_time.observe(int((_time.perf_counter() - t) * 1e6))
+        self._m_num_local_maps.observe(len(pose_graph.local_map_nodes))
+        self._m_num_edges.observe(len(pose_graph.edges))
+        lm = self.latest_local_map()
+        self._m_lm_memory.observe(5 * lm.logodds.shape[0] * lm.logodds.shape[1])
+        self._m_pg_memory.observe(
+            24 * (len(pose_graph.scan_nodes) + len(pose_graph.local_map_nodes))
+            + 112 * len(pose_graph.edges)
+        )
         return inserted
 
     # ------------------------------------------------------------------
@@ -213,6 +241,7 @@ class GridMapBuilder:
             lm = self.latest_local_map()
             lm.finished = True
             pose_graph.local_map_nodes[lm.local_map_id].finished = True
+            self._m_lm_interval_dist.observe(self.travel_dist_last_local_map)
 
         local_map_id = len(self.local_maps)
         local_map_pose = np.asarray(scan_pose, np.float64)
@@ -344,23 +373,37 @@ class GridMapBuilder:
         across keyframes up to an integer cell shift; the window is then
         re-folded sequentially (exact Bayes-clip semantics) in O(N) dense
         ops instead of O(N) rasterizations."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         cfg = self.cfg
         nodes = pose_graph.scan_nodes
         n = min(len(nodes), cfg.num_scans_for_latest_map)
         first = len(nodes) - n
         self.latest_scan_id_min = nodes[first].node_id
         self.latest_scan_id_max = nodes[-1].node_id
-        if cfg.latest_map_incremental and self._update_latest_incremental(
-            nodes[first:]
-        ):
-            return
-        self.latest_map_pose = nodes[first].global_pose.copy()
-        lo, obs, offset = self._new_raster(cfg.latest_map_rows, cfg.latest_map_cols)
-        entries = [(nd.global_pose, nd.scan_data) for nd in nodes[first:]]
-        self.latest_logodds, self.latest_observed = self._integrate(
-            lo, obs, offset, self.latest_map_pose, entries
-        )
-        self.latest_offset = offset
+        try:
+            if cfg.latest_map_incremental and self._update_latest_incremental(
+                nodes[first:]
+            ):
+                return
+            self.latest_map_pose = nodes[first].global_pose.copy()
+            lo, obs, offset = self._new_raster(
+                cfg.latest_map_rows, cfg.latest_map_cols
+            )
+            entries = [(nd.global_pose, nd.scan_data) for nd in nodes[first:]]
+            self.latest_logodds, self.latest_observed = self._integrate(
+                lo, obs, offset, self.latest_map_pose, entries
+            )
+            self.latest_offset = offset
+        finally:
+            self._m_latest_update_time.observe(
+                int((_time.perf_counter() - t0) * 1e6)
+            )
+            if self.latest_logodds is not None:
+                self._m_latest_memory.observe(
+                    5 * self.latest_logodds.shape[0] * self.latest_logodds.shape[1]
+                )
 
     def _update_latest_incremental(self, window_nodes) -> bool:
         cfg = self.cfg

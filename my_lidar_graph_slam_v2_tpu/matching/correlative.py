@@ -160,6 +160,14 @@ def _correlative_core(
         prob, observed, ranges, angles, mask, best_sensor_pose,
         cfg.resolution, offset_xy, cfg.covariance_scale,
     )
+    # Candidate accounting (parity with the reference's NumOfProcessedNodes/
+    # NumOfIgnoredNodes series, scan_matcher_correlative.cpp:16-71): fine
+    # nodes whose coarse block passed both gates were "processed", the rest
+    # of the window was pruned.
+    n_processed = jnp.sum(eligible).astype(jnp.int32)
+    n_total = (
+        jnp.sum(theta_mask).astype(jnp.int32) * jnp.int32(nxf) * jnp.int32(nyf)
+    )
     return (
         best_sensor_pose,
         best_score,
@@ -167,14 +175,39 @@ def _correlative_core(
         pose_found,
         cost_val * norm,
         cov,
+        n_processed,
+        n_total,
     )
+
+
+class MatcherMetrics:
+    """The reference's per-matcher series set
+    (``scan_matcher_correlative.cpp:16-71``), registered lazily under the
+    matcher's name (times in microseconds like the reference's
+    ``Timer::ElapsedMicro``)."""
+
+    _NAMES = (
+        "InputSetupTime", "OptimizationTime", "DiffTranslation",
+        "DiffRotation", "WinSizeX", "WinSizeY", "WinSizeTheta",
+        "StepSizeX", "StepSizeY", "StepSizeTheta", "NumOfIgnoredNodes",
+        "NumOfProcessedNodes", "ScoreValue", "CostValue", "NumOfScans",
+    )
+
+    def __init__(self, matcher_name: str):
+        from ..metrics.registry import MetricManager
+
+        vs = MetricManager.instance().value_sequence
+        for n in self._NAMES:
+            setattr(self, n, vs(f"{matcher_name}.{n}"))
 
 
 class ScanMatcherCorrelative:
     """Host-side wrapper holding the static config and coarse-map cache."""
 
-    def __init__(self, cfg: CorrelativeConfig):
+    def __init__(self, cfg: CorrelativeConfig, name: str = "ScanMatcherCorrelative"):
         self.cfg = cfg
+        self.name = name
+        self.metrics = MatcherMetrics(name)
 
     def coarse_of(self, grid_map: MapRaster):
         key = ("swmax", self.cfg.low_resolution)
@@ -190,25 +223,37 @@ class ScanMatcherCorrelative:
         score_threshold: float = 0.0,
         known_rate_threshold: float = 0.0,
     ) -> ScanMatchingSummary:
+        import time as _time
+
+        t0 = _time.perf_counter()
         gm, scan = query.grid_map, query.scan
         sensor_pose = P.compound(query.initial_pose, scan.rel_sensor_pose)
         coarse_prob, coarse_obs = self.coarse_of(gm)
-        (pose_s, score, known, found, ncost, cov) = _correlative_core(
-            self.cfg,
-            gm.prob,
-            gm.observed,
-            coarse_prob,
-            coarse_obs,
-            scan.ranges,
-            scan.angles,
-            scan.mask,
-            jnp.asarray(sensor_pose, jnp.float32),
-            jnp.asarray(gm.offset_xy, jnp.float32),
-            jnp.float32(score_threshold),
-            jnp.float32(known_rate_threshold),
+        mm = self.metrics
+        mm.InputSetupTime.observe(int((_time.perf_counter() - t0) * 1e6))
+        t1 = _time.perf_counter()
+        (pose_s, score, known, found, ncost, cov, n_proc, n_total) = (
+            _correlative_core(
+                self.cfg,
+                gm.prob,
+                gm.observed,
+                coarse_prob,
+                coarse_obs,
+                scan.ranges,
+                scan.angles,
+                scan.mask,
+                jnp.asarray(sensor_pose, jnp.float32),
+                jnp.asarray(gm.offset_xy, jnp.float32),
+                jnp.float32(score_threshold),
+                jnp.float32(known_rate_threshold),
+            )
         )
         est_pose = P.move_backward(
             np.asarray(pose_s, np.float64), scan.rel_sensor_pose
+        )
+        mm.OptimizationTime.observe(int((_time.perf_counter() - t1) * 1e6))
+        self._observe_metrics(
+            query, scan, est_pose, score, ncost, int(n_proc), int(n_total)
         )
         return ScanMatchingSummary(
             pose_found=bool(found),
@@ -219,3 +264,32 @@ class ScanMatcherCorrelative:
             normalized_score=float(score),
             known_rate=float(known),
         )
+
+    def _observe_metrics(
+        self, query, scan, est_pose, score, ncost, n_proc, n_total
+    ):
+        """Observe the reference series (``scan_matcher_correlative.cpp:
+        304-345``); window/step sizes recomputed host-side from the same
+        formulas the jitted core uses."""
+        cfg = self.cfg
+        mm = self.metrics
+        diff = P.inverse_compound(query.initial_pose, est_pose)
+        mm.DiffTranslation.observe(float(P.distance(diff)))
+        mm.DiffRotation.observe(abs(float(diff[2])))
+        wx, wy = cfg.win_cells
+        nbx, nby = cfg.blocks
+        n_theta = n_total // (nbx * nby * cfg.low_resolution**2)
+        valid = np.asarray(scan.mask, bool)
+        max_range = float(np.max(np.where(valid, np.asarray(scan.ranges), 0.0)))
+        step_theta = 2.0 * math.asin(0.5 * cfg.resolution / max(max_range, 1e-6))
+        mm.WinSizeX.observe(2 * wx)
+        mm.WinSizeY.observe(2 * wy)
+        mm.WinSizeTheta.observe(n_theta)
+        mm.StepSizeX.observe(cfg.resolution)
+        mm.StepSizeY.observe(cfg.resolution)
+        mm.StepSizeTheta.observe(step_theta)
+        mm.NumOfIgnoredNodes.observe(n_total - n_proc)
+        mm.NumOfProcessedNodes.observe(n_proc)
+        mm.ScoreValue.observe(float(score))
+        mm.CostValue.observe(float(ncost))
+        mm.NumOfScans.observe(int(valid.sum()))

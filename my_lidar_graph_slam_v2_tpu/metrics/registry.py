@@ -33,7 +33,7 @@ class Counter:
         self.value = 0.0
 
     def to_dict(self):
-        return {"Value": self.value}
+        return {"Value": f"{self.value:.6f}"}
 
 
 class Gauge:
@@ -50,7 +50,7 @@ class Gauge:
         self.value = 0.0
 
     def to_dict(self):
-        return {"Value": self.value}
+        return {"Value": f"{self.value:.6f}"}
 
 
 class Distribution:
@@ -139,7 +139,21 @@ class ValueSequence:
         self.values.clear()
 
     def to_dict(self):
-        return {"NumOfValues": len(self.values), "Values": self.values}
+        return {
+            "NumOfSamples": str(len(self.values)),
+            "Values": " ".join(_fmt(v) for v in self.values),
+        }
+
+
+def _fmt(v: float) -> str:
+    """Compact numeric formatting for the space-separated Values string
+    (integers stay integers; floats keep 6 significant digits like the
+    reference's property-tree writer)."""
+    if not math.isfinite(v):
+        return str(v)
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return f"{v:.6g}"
 
 
 class Timer:
@@ -199,8 +213,28 @@ class MetricManager:
     def value_sequence(self, name) -> ValueSequence:
         return self._get(name, ValueSequence)
 
+    _SECTIONS = (
+        ("Counters", Counter),
+        ("Gauges", Gauge),
+        ("Distributions", Distribution),
+        ("Histograms", Histogram),
+        ("ValueSequences", ValueSequence),
+    )
+
     def to_dict(self):
-        return {name: m.to_dict() for name, m in sorted(self.metrics.items())}
+        """Sectioned export matching the reference's metric JSON layout
+        (``slam_launcher.cpp:171-181``): one top-level object per metric
+        type, flat dotted names inside, ``""`` for empty sections (the
+        property-tree writer's quirk, kept for mechanical diffability)."""
+        out = {}
+        for section, cls in self._SECTIONS:
+            entries = {
+                name: m.to_dict()
+                for name, m in sorted(self.metrics.items())
+                if type(m) is cls
+            }
+            out[section] = entries if entries else ""
+        return out
 
     def save_json(self, path: str):
         with open(path, "w") as f:

@@ -34,6 +34,8 @@ def _fused_core(
     lcfg: LinearSolverConfig,
     prob,
     observed,
+    coarse_p,
+    coarse_o,
     ranges,
     angles,
     mask,
@@ -42,9 +44,7 @@ def _fused_core(
     score_threshold,
     known_rate_threshold,
 ):
-    coarse_p = pool.sliding_window_max2d(prob, ccfg.low_resolution)
-    coarse_o = pool.sliding_window_max2d(observed, ccfg.low_resolution)
-    (csm_pose, score, known, found, _, _) = _correlative_core(
+    (csm_pose, score, known, found, _, _, n_proc, n_total) = _correlative_core(
         ccfg, prob, observed, coarse_p, coarse_o,
         ranges, angles, mask, sensor_pose, offset_xy,
         score_threshold, known_rate_threshold,
@@ -61,7 +61,7 @@ def _fused_core(
         prob, observed, ranges, angles, mask, refined,
         ccfg.resolution, offset_xy, lcfg.covariance_scale,
     )
-    return refined, cov, score, known, found, cost / n, iters
+    return refined, cov, score, known, found, cost / n, iters, n_proc, n_total
 
 
 class FusedCorrelativeGNMatcher:
@@ -70,9 +70,25 @@ class FusedCorrelativeGNMatcher:
 
     fused = True
 
-    def __init__(self, ccfg: CorrelativeConfig, lcfg: LinearSolverConfig):
+    def __init__(
+        self,
+        ccfg: CorrelativeConfig,
+        lcfg: LinearSolverConfig,
+        name: str = "ScanMatcherCorrelativeFused",
+    ):
+        from ..matching.correlative import ScanMatcherCorrelative
+
         self.ccfg = ccfg
         self.lcfg = lcfg
+        self.name = name
+        # Host-side proxy reused for the shared window/step/diff series
+        # bookkeeping (matching/correlative.py:_observe_metrics); the
+        # registry is idempotent, so the series are shared by name.
+        self._series = ScanMatcherCorrelative(ccfg, name)
+        self.metrics = self._series.metrics
+
+    def coarse_of(self, grid_map):
+        return self._series.coarse_of(grid_map)
 
     def optimize_pose(
         self,
@@ -80,18 +96,35 @@ class FusedCorrelativeGNMatcher:
         score_threshold: float = 0.0,
         known_rate_threshold: float = 0.0,
     ) -> ScanMatchingSummary:
+        import time as _time
+
+        t0 = _time.perf_counter()
         gm, scan = query.grid_map, query.scan
         sensor_pose = P.compound(query.initial_pose, scan.rel_sensor_pose)
+        coarse_p, coarse_o = self.coarse_of(gm)
+        self.metrics.InputSetupTime.observe(
+            int((_time.perf_counter() - t0) * 1e6)
+        )
+        t1 = _time.perf_counter()
         out = _fused_core(
             self.ccfg, self.lcfg,
-            gm.prob, gm.observed, scan.ranges, scan.angles, scan.mask,
+            gm.prob, gm.observed, coarse_p, coarse_o,
+            scan.ranges, scan.angles, scan.mask,
             jnp.asarray(sensor_pose, jnp.float32),
             jnp.asarray(gm.offset_xy, jnp.float32),
             jnp.float32(score_threshold),
             jnp.float32(known_rate_threshold),
         )
-        refined, cov, score, known, found, ncost, iters = jax.device_get(out)
+        (refined, cov, score, known, found, ncost, iters, n_proc, n_total) = (
+            jax.device_get(out)
+        )
         est = P.move_backward(np.asarray(refined, np.float64), scan.rel_sensor_pose)
+        self.metrics.OptimizationTime.observe(
+            int((_time.perf_counter() - t1) * 1e6)
+        )
+        self._series._observe_metrics(
+            query, scan, est, score, ncost, int(n_proc), int(n_total)
+        )
         return ScanMatchingSummary(
             pose_found=bool(found),
             normalized_cost=float(ncost),

@@ -92,11 +92,13 @@ def make_routed_loop_csm(mesh: Mesh, cfg: CorrelativeConfig):
                score_thr, known_thr):
         coarse_p = pool.sliding_window_max2d(prob, cfg.low_resolution)
         coarse_o = pool.sliding_window_max2d(observed, cfg.low_resolution)
+        # Drop the per-candidate node-accounting tail (batch detectors
+        # aggregate their own counters).
         return _correlative_core(
             cfg, prob, observed, coarse_p, coarse_o,
             ranges, angles, mask, sensor_pose, offset_xy,
             score_thr, known_thr,
-        )
+        )[:6]
 
     batched = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
 

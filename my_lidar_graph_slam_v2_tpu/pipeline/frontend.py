@@ -75,11 +75,23 @@ class LidarGraphSlamFrontend:
         self.last_map_update_time = 0.0
         self.last_loop_detection_dist = 0.0
 
-        self._m_process_time = self.metrics.value_sequence("Frontend.ProcessTime")
-        self._m_matching_time = self.metrics.value_sequence(
-            "Frontend.ScanMatchingTime"
-        )
-        self._m_num_scans = self.metrics.value_sequence("Frontend.NumOfScans")
+        # Series named for parity with the reference's frontend metrics
+        # (lidar_graph_slam_frontend.cpp:14-65); times in microseconds.
+        vs = self.metrics.value_sequence
+        self._m_input_count = self.metrics.counter("Frontend.InputScanDataCount")
+        self._m_process_count = self.metrics.counter("Frontend.ProcessCount")
+        self._m_process_time = vs("Frontend.ProcessTime")
+        self._m_process_scan_time = vs("Frontend.ProcessScanTime")
+        self._m_setup_time = vs("Frontend.ScanDataSetupTime")
+        self._m_matching_time = vs("Frontend.ScanMatchingTime")
+        self._m_final_matching_time = vs("Frontend.FinalScanMatchingTime")
+        self._m_data_update_time = vs("Frontend.DataUpdateTime")
+        self._m_interval_travel = vs("Frontend.IntervalTravelDist")
+        self._m_interval_angle = vs("Frontend.IntervalAngle")
+        self._m_interval_time = vs("Frontend.IntervalTime")
+        self._m_num_scans = vs("Frontend.NumOfScans")
+        self._m_process_frame = vs("Frontend.ProcessFrame")
+        self._m_memory_usage = vs("Frontend.PhysicalMemoryUsage")
         self._m_degeneration = self.metrics.counter("Frontend.DegenerationCount")
         self._m_matcher_failure = self.metrics.counter(
             "Frontend.MatcherFailureCount"
@@ -112,6 +124,7 @@ class LidarGraphSlamFrontend:
         import time as _time
 
         t_start = _time.perf_counter()
+        us = lambda t: int((_time.perf_counter() - t) * 1e6)
         cfg = self.cfg
         odom_pose = np.asarray(odom_pose, np.float64)
         rel_odom = (
@@ -123,6 +136,7 @@ class LidarGraphSlamFrontend:
         self.accumulated_travel_dist += float(P.distance(rel_odom))
         self.accumulated_angle += abs(float(rel_odom[2]))
         self.input_count += 1
+        self._m_input_count.increment()
 
         if self.accumulator is not None:
             self.accumulator.append_scan(raw_scan)
@@ -139,22 +153,35 @@ class LidarGraphSlamFrontend:
             or self.process_count == 0
         ) and elapsed >= 0.0
         if not update_needed:
+            # ProcessTime is observed for EVERY input scan (quick exits
+            # included), like the reference's 584-sample series.
+            self._m_process_time.observe(us(t_start))
             return False
+
+        self._m_interval_travel.observe(self.accumulated_travel_dist)
+        self._m_interval_angle.observe(self.accumulated_angle)
+        self._m_interval_time.observe(elapsed)
 
         scan = (
             self.accumulator.compute_concatenated_scan()
             if self.accumulator is not None
             else raw_scan
         )
+        if self.process_count > 0:
+            t_setup = _time.perf_counter()
         if self.outlier_filter is not None:
             scan = self.outlier_filter.remove_outliers(scan)
         if self.interpolator is not None:
             scan = self.interpolator.interpolate(scan)
+        if self.process_count > 0:
+            self._m_setup_time.observe(us(t_setup))
 
         if self.process_count == 0:
+            t_update = _time.perf_counter()
             parent.append_first_node_and_edge(
                 np.asarray(cfg.initial_pose, np.float64), scan
             )
+            self._m_data_update_time.observe(us(t_update))
         else:
             parent.wait_for_optimization()
             latest_scan_pose, latest_map, latest_map_pose = parent.get_latest_data()
@@ -170,6 +197,8 @@ class LidarGraphSlamFrontend:
             summary = self.scan_matcher.optimize_pose(
                 ScanMatchingQuery(latest_map, scan_arrays, map_local_initial)
             )
+            self._m_matching_time.observe(us(t_match))
+            t_final = _time.perf_counter()
             if summary.pose_found:
                 if getattr(self.scan_matcher, "fused", False):
                     # The matcher already includes the final (GN) refinement
@@ -181,7 +210,7 @@ class LidarGraphSlamFrontend:
                             latest_map, scan_arrays, summary.estimated_pose
                         )
                     )
-            self._m_matching_time.observe(_time.perf_counter() - t_match)
+            self._m_final_matching_time.observe(us(t_final))
 
             if not summary.pose_found:
                 # Graceful degradation (deliberate upgrade over the
@@ -220,7 +249,9 @@ class LidarGraphSlamFrontend:
                 else:
                     relative, covariance = scan_relative, scan_cov_world
 
+            t_update = _time.perf_counter()
             parent.append_node_and_edge(relative, covariance, scan)
+            self._m_data_update_time.observe(us(t_update))
 
             accum = parent.accum_travel_dist()
             if accum - self.last_loop_detection_dist >= cfg.loop_detection_threshold:
@@ -232,8 +263,14 @@ class LidarGraphSlamFrontend:
         self.accumulated_angle = 0.0
         self.last_map_update_odom_pose = odom_pose
         self.last_map_update_time = raw_scan.time_stamp
-        self._m_process_time.observe(_time.perf_counter() - t_start)
+        self._m_process_count.increment()
+        self._m_process_scan_time.observe(us(t_start))
+        self._m_process_time.observe(us(t_start))
         self._m_num_scans.observe(scan.num_scans)
+        self._m_process_frame.observe(self.process_count)
+        from ..utils.memory import physical_memory_usage
+
+        self._m_memory_usage.observe(physical_memory_usage())
         return True
 
     # ------------------------------------------------------------------

@@ -186,7 +186,12 @@ def test_launcher_cli_on_synthetic_log(tmp_path):
     pg = json.loads((tmp_path / "out.posegraph.json").read_text())
     assert len(pg["ScanNodes"]) >= 3
     metrics = json.loads((tmp_path / "out.metric.json").read_text())
-    assert "Frontend.ProcessTime" in metrics
+    # Sectioned layout matching the reference (slam_launcher.cpp:171-181)
+    assert "Frontend.ProcessTime" in metrics["ValueSequences"]
+    assert "Frontend.ProcessCount" in metrics["Counters"]
+    seq = metrics["ValueSequences"]["Frontend.ProcessTime"]
+    assert int(seq["NumOfSamples"]) >= 3
+    assert len(seq["Values"].split()) == int(seq["NumOfSamples"])
 
 
 def test_pose_graph_svg_live_view(tmp_path):
