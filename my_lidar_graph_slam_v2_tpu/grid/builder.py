@@ -87,6 +87,9 @@ class LocalMap:
     scan_node_id_min: int
     scan_node_id_max: int
     finished: bool = False
+    # Bumped on every raster write; the device map cache keys entries by
+    # (local_map_id, version) — grid/map_cache.py.
+    version: int = 0
     # cached coarse maps for loop detection, keyed by window size
     coarse_cache: dict = field(default_factory=dict)
 
@@ -360,6 +363,7 @@ class GridMapBuilder:
             [(node.global_pose, node.scan_data)],
         )
         lm.scan_node_id_max = node.node_id
+        lm.version += 1
         lm.coarse_cache.clear()
 
     # ------------------------------------------------------------------

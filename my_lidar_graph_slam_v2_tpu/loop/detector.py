@@ -63,11 +63,16 @@ class LoopDetectorCorrelative:
     (``loop_detector_correlative.cpp:59-156``)."""
 
     def __init__(self, cfg: LoopDetectorConfig, scan_matcher, final_scan_matcher,
-                 resolution: float = 0.05):
+                 resolution: float = 0.05, map_cache=None):
+        from ..grid.map_cache import DeviceMapCache
+
         self.cfg = cfg
         self.scan_matcher = scan_matcher
         self.final_scan_matcher = final_scan_matcher
         self.resolution = resolution
+        # HBM-resident quantized raster cache keyed by (map id, version) —
+        # the FPGA BRAM cache analogue (grid/map_cache.py)
+        self.map_cache = map_cache or DeviceMapCache(resolution)
 
     def detect(self, queries) -> List[dict]:
         results = []
@@ -77,7 +82,7 @@ class LoopDetectorCorrelative:
             map_node = q["local_map_node"]
             assert local_map.finished, "loop detection against unfinished map"
 
-            raster = local_map.raster(self.resolution)
+            raster = self.map_cache.raster(local_map)
             map_local_pose = P.inverse_compound(
                 map_node.global_pose, scan_node.global_pose
             )

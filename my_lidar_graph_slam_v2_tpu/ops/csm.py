@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from . import quant
+
 
 @functools.partial(
     jax.jit,
@@ -98,7 +100,9 @@ def csm_sweep(
         in_rows = crop_rows + (ny - 1) * stride
         in_cols = crop_cols + (nx - 1) * stride
         pad = max(in_rows, in_cols)
-        planes = jnp.stack([prob, observed.astype(jnp.float32)], axis=0)
+        planes = jnp.stack(
+            [quant.dequant_prob(prob), observed.astype(jnp.float32)], axis=0
+        )
         planes = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)))
         start_r = jnp.clip(r0 + y0 + pad, 0, planes.shape[1] - in_rows)
         start_c = jnp.clip(c0 + x0 + pad, 0, planes.shape[2] - in_cols)
@@ -212,6 +216,9 @@ def sweep_from_hits(
     the build cost — see matching/correlative.py.
     """
     crop_rows, crop_cols = hit_img.shape[1], hit_img.shape[2]
+    # Cached maps arrive u8-quantized (ops/quant.py); dequant fuses into
+    # the stack/pad below, HBM keeps the u8 form.
+    prob = quant.dequant_prob(prob)
     # --- conv input: (prob, observed) crop shifted by the window origin --
     in_rows = crop_rows + (ny - 1) * stride
     in_cols = crop_cols + (nx - 1) * stride

@@ -32,12 +32,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import quant
+
 
 def _bilinear_values(prob, observed, frow, fcol):
     """Four corner probabilities + fractional offsets for float indices.
 
     Unknown or out-of-range corners read 0.5 (``ProbabilityOr(..., 0.5)``
-    with clamped indices)."""
+    with clamped indices).  Accepts f32 or cached-u8 maps (ops/quant.py);
+    the dequant fuses into the gather."""
+    prob = quant.dequant_prob(prob)
     H, W = prob.shape
     r0 = jnp.floor(frow)
     c0 = jnp.floor(fcol)

@@ -68,13 +68,24 @@ class LoopDetectorShardedCorrelative:
     afterwards, like the reference's final scan matcher."""
 
     def __init__(self, cfg, scan_matcher_cfg: CorrelativeConfig,
-                 final_scan_matcher, mesh: Mesh, resolution: float = 0.05):
+                 final_scan_matcher, mesh: Mesh, resolution: float = 0.05,
+                 map_cache=None):
+        from ..grid.map_cache import DeviceMapCache
+        from ..metrics.registry import MetricManager
+
         self.cfg = cfg
         self.mcfg = scan_matcher_cfg
         self.final = final_scan_matcher
         self.mesh = mesh
         self.resolution = resolution
+        self.map_cache = map_cache or DeviceMapCache(resolution)
         self._fn = make_batched_loop_csm(mesh, scan_matcher_cfg)
+        # Bytes staged per detect() for the candidate map stack (u8 prob +
+        # bool observed per candidate) — the transfer the FPGA's BRAM hit
+        # avoids; tracked so cache wins are measurable.
+        self._m_stack_bytes = MetricManager.instance().value_sequence(
+            "LoopDetector.MapStackBytes"
+        )
 
     def detect(self, queries) -> List[dict]:
         from ..loop.detector import scan_to_arrays
@@ -86,8 +97,12 @@ class LoopDetectorShardedCorrelative:
         C = ((len(queries) + D - 1) // D) * D
 
         probs, obss, rngs, angs, msks, poses, offs = [], [], [], [], [], [], []
+        rasters = {}
         for q in queries:
-            raster = q["local_map"].raster(self.resolution)
+            lm = q["local_map"]
+            if lm.local_map_id not in rasters:
+                rasters[lm.local_map_id] = self.map_cache.raster(lm)
+            raster = rasters[lm.local_map_id]
             arrays = scan_to_arrays(q["query_node"].scan_data, self.cfg.beam_capacity)
             map_local = P2.inverse_compound(
                 q["local_map_node"].global_pose, q["query_node"].global_pose
@@ -110,6 +125,8 @@ class LoopDetectorShardedCorrelative:
             poses.append(poses[0])
             offs.append(offs[0])
 
+        h, w = probs[0].shape
+        self._m_stack_bytes.observe(C * h * w * 2)  # u8 prob + bool mask
         out = self._fn(
             jnp.stack(probs),
             jnp.stack(obss),
@@ -128,7 +145,7 @@ class LoopDetectorShardedCorrelative:
             if not found[i]:
                 continue
             arrays = scan_to_arrays(q["query_node"].scan_data, self.cfg.beam_capacity)
-            raster = q["local_map"].raster(self.resolution)
+            raster = rasters[q["local_map"].local_map_id]
             est_robot = P2.move_backward(
                 np.asarray(best_pose[i], np.float64), arrays.rel_sensor_pose
             )

@@ -136,16 +136,24 @@ class MultiHostLoopDetector:
     local map, and only that process materializes the raster."""
 
     def __init__(self, cfg, scan_matcher_cfg: CorrelativeConfig,
-                 final_scan_matcher, mesh: Mesh, resolution: float = 0.05):
+                 final_scan_matcher, mesh: Mesh, resolution: float = 0.05,
+                 map_cache=None):
+        from ..grid.map_cache import DeviceMapCache
+        from ..metrics.registry import MetricManager
+
         self.cfg = cfg
         self.mcfg = scan_matcher_cfg
         self.final = final_scan_matcher
         self.mesh = mesh
         self.resolution = resolution
+        self.map_cache = map_cache or DeviceMapCache(resolution)
         self._fn = make_routed_loop_csm(mesh, scan_matcher_cfg)
         self.num_processes = jax.process_count()
         self.process_id = jax.process_index()
         self.rasterized_map_ids: set = set()  # owner-side uploads (telemetry)
+        self._m_h2d_bytes = MetricManager.instance().value_sequence(
+            "LoopDetector.MapH2DBytes"
+        )
 
     # -- candidate layout ------------------------------------------------
     def _layout(self, queries):
@@ -184,11 +192,22 @@ class MultiHostLoopDetector:
                 q["query_node"].scan_data, self.cfg.beam_capacity
             )
 
-        # Probe one raster for shapes (host-side; cheap, no upload)
-        probe = queries[0]["local_map"].raster(self.resolution)
-        H, W = probe.prob.shape
+        # Quantized rasters, ONE cache lookup per distinct owned map
+        # (grid/map_cache.py; reference FPGA skips the map transfer on a
+        # BRAM id hit, scan_matcher_correlative_fpga.cpp:254-270)
+        H, W = queries[0]["local_map"].observed.shape
         B = self.cfg.beam_capacity
         sharding = NamedSharding(self.mesh, P(AXIS_CANDIDATES))
+        raster_by_slot = {}
+        h2d_bytes = 0
+        for s, q in slot_to_query.items():
+            lm = q["local_map"]
+            if owner_of(lm.local_map_id, self.num_processes) != self.process_id:
+                continue
+            raster_by_slot[s] = self.map_cache.raster(lm)
+            self.rasterized_map_ids.add(lm.local_map_id)
+            h2d_bytes += H * W * 2  # u8 prob + bool mask per slot
+        self._m_h2d_bytes.observe(h2d_bytes)
 
         def map_cb(kind):
             def cb(index):
@@ -197,15 +216,13 @@ class MultiHostLoopDetector:
                 lo, hi = index[0].start or 0, index[0].stop or C
                 blocks = []
                 for s in range(lo, hi):
-                    q = slot_to_query.get(s)
-                    if q is None:
+                    raster = raster_by_slot.get(s)
+                    if raster is None:
                         blocks.append(
                             np.zeros((1, H, W),
-                                     np.float32 if kind == "prob" else bool)
+                                     np.uint8 if kind == "prob" else bool)
                         )
                         continue
-                    raster = q["local_map"].raster(self.resolution)
-                    self.rasterized_map_ids.add(q["local_map"].local_map_id)
                     arr = raster.prob if kind == "prob" else raster.observed
                     blocks.append(np.asarray(arr)[None])
                 return np.concatenate(blocks, 0)
@@ -252,9 +269,7 @@ class MultiHostLoopDetector:
         def fill_off(s, q):
             if q is None:
                 return np.zeros(2, np.float32)
-            return np.asarray(
-                q["local_map"].raster(self.resolution).offset_xy, np.float32
-            )
+            return np.asarray(q["local_map"].offset_xy, np.float32)
 
         mk = jax.make_array_from_callback
         prob_g = mk((C, H, W), sharding, map_cb("prob"))
@@ -281,7 +296,11 @@ class MultiHostLoopDetector:
             if not found[s]:
                 continue
             arrays = arrays_by_slot[s]
-            raster = q["local_map"].raster(self.resolution)
+            # Owner slots hit the entry staged above; non-owned maps (host
+            # state is replicated) are cached locally for the GN refine.
+            raster = raster_by_slot.get(s)
+            if raster is None:
+                raster = self.map_cache.raster(q["local_map"])
             est_robot = P2.move_backward(
                 np.asarray(best_pose[s], np.float64), arrays.rel_sensor_pose
             )
