@@ -490,8 +490,14 @@ class GridMapBuilder:
         )
 
     def latest_raster(self) -> MapRaster:
+        """Matching raster of the rolling latest map, u8-quantized: the
+        sweep kernels take the exact single-pass bf16 path on u8 maps
+        (ops/csm.py) and the GN ops dequantize inside the gather, so the
+        frontend hot path moves 1/4 the map bytes per dispatch."""
+        from ..ops import quant
+
         return MapRaster(
-            rasterize.prob_map(self.latest_logodds, self.latest_observed),
+            quant.quantize_prob(self.latest_logodds, self.latest_observed),
             self.latest_observed,
             self.cfg.resolution,
             self.latest_offset,

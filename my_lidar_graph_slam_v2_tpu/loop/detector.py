@@ -111,8 +111,10 @@ class LoopDetectorCorrelative:
 
 class LoopDetectorBranchBound(LoopDetectorCorrelative):
     """``LoopDetectorBranchBound`` (``loop_detector_branch_bound.cpp``):
-    identical Detect flow with the branch-and-bound matcher; per-map
-    pyramid caching happens inside the matcher's coarse handling."""
+    identical Detect flow with the branch-and-bound matcher (itself a
+    dense coarse-gated sweep — see matching/branch_bound.py for why B&B
+    pruning is not used on TPU); map rasters come from the shared
+    quantized device cache like every detector."""
 
 
 class LoopDetectorGridSearch(LoopDetectorCorrelative):

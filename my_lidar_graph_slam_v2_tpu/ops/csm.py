@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import quant
 
@@ -216,15 +217,26 @@ def sweep_from_hits(
     the build cost — see matching/correlative.py.
     """
     crop_rows, crop_cols = hit_img.shape[1], hit_img.shape[2]
-    # Cached maps arrive u8-quantized (ops/quant.py); dequant fuses into
-    # the stack/pad below, HBM keeps the u8 form.
-    prob = quant.dequant_prob(prob)
     # --- conv input: (prob, observed) crop shifted by the window origin --
     in_rows = crop_rows + (ny - 1) * stride
     in_cols = crop_cols + (nx - 1) * stride
     # input[r, c] = map[r0 + y0 + r, c0 + x0 + c]  (zero outside)
     pad = max(in_rows, in_cols)
-    planes = jnp.stack([prob, observed.astype(jnp.float32)], axis=0)
+    # u8-quantized maps (grid/map_cache.py) take an EXACT single-pass
+    # bf16 path: integers 0..255 are exactly representable in bf16, the
+    # one-hot hit counts are exact, and the MXU accumulates in f32, so
+    # one bf16 matmul on the raw u8 levels (rescaled by 1/255 afterwards)
+    # reproduces the f32 score bit-for-bit w.r.t. the quantized map at
+    # half the FLOPs/HBM of the hi+lo split the f32 path needs.
+    u8_exact = prob.dtype == jnp.uint8 and precision != "highest"
+    if u8_exact:
+        planes = jnp.stack(
+            [prob, observed.astype(jnp.uint8) * jnp.uint8(255)], axis=0
+        )
+    else:
+        planes = jnp.stack(
+            [quant.dequant_prob(prob), observed.astype(jnp.float32)], axis=0
+        )
     planes = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)))
     start_r = jnp.clip(r0 + y0 + pad, 0, planes.shape[1] - in_rows)
     start_c = jnp.clip(c0 + x0 + pad, 0, planes.shape[2] - in_cols)
@@ -235,12 +247,18 @@ def sweep_from_hits(
     )
 
     # Precision of the score contraction (hit counts are exact in bf16):
+    #   u8 map  — exact single bf16 matmul (see above), any precision
     #   fast    — map probs rounded to bf16, one bf16 matmul (~0.4% score
     #             error; fine for coarse gating / loop candidate triage)
     #   split   — probs split hi+lo bf16, two bf16 matmuls: ~f32-accurate
     #             at one third of the f32 MXU cost (the default)
     #   highest — f32 operands end-to-end (oracle/parity tests)
-    if precision == "highest":
+    scale = None
+    if u8_exact:
+        parts = [inp.astype(jnp.bfloat16)]
+        hit_c = hit_img
+        scale = np.float32(1.0 / 255.0)
+    elif precision == "highest":
         parts = [inp]
         hit_c = hit_img.astype(jnp.float32)
     else:
@@ -275,6 +293,8 @@ def sweep_from_hits(
                 preferred_element_type=jnp.float32,
             )  # [T, 2, ny*nx]
             out = o if out is None else out + o
+        if scale is not None:
+            out = out * scale
         scores = out[:, 0, :].reshape(-1, ny, nx)
         known = out[:, 1, :].reshape(-1, ny, nx)
         return scores, known
@@ -290,6 +310,8 @@ def sweep_from_hits(
             preferred_element_type=jnp.float32,
         )  # [2, T, ny, nx]
         out = o if out is None else out + o
+    if scale is not None:
+        out = out * scale
     scores = out[0]
     known = out[1]
     return scores, known

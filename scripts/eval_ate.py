@@ -57,9 +57,13 @@ def run_config(name, *, backend_kind, loss_kind=None, laps, odom_noise,
                 ScanMatcherBranchBound,
             )
 
+            # B&B's reference role is wide-window relocalization: give it
+            # its own (larger) search window and theta range, distinct
+            # from config #2's correlative 2.5 m window
             backend.loop_detector.scan_matcher = ScanMatcherBranchBound(
                 BranchBoundConfig(
-                    node_height_max=6, n_theta_max=128,
+                    node_height_max=5, range_x=3.5, range_y=3.5,
+                    range_theta=0.75, n_theta_max=160,
                     crop_rows=448, crop_cols=448,
                 )
             )
