@@ -36,6 +36,12 @@ def main(argv=None):
                     help="rewrite <output>.graph.svg every N keyframes "
                     "(live pose-graph view, like the reference's gnuplot "
                     "drawFrameInterval)")
+    ap.add_argument("--client", default=None, metavar="SETTINGS",
+                    help="TCP client settings JSON (reference "
+                    "client-settings.json format: Enabled, Server.Address, "
+                    "Server.Port); streams grid-map params once, then the "
+                    "pose array + latest scan per keyframe "
+                    "(slam_launcher.cpp:288-296)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -67,11 +73,48 @@ def main(argv=None):
         crop=args.crop,
     )
     slam.start_backend()
+
+    # TCP visualization client (reference: slam_launcher.cpp:253-296)
+    client = None
+    if args.client:
+        import json as _json
+
+        from ..config.settings import _get
+        from ..network.slam_client import GridMapParams, SlamClient
+
+        with open(args.client) as f:
+            csettings = _json.load(f)
+        if csettings.get("Enabled", False):
+            client = SlamClient(
+                _get(csettings, "Server/Address", "127.0.0.1"),
+                int(_get(csettings, "Server/Port", 1901)),
+            )
+            if not client.connect():
+                print("Failed to connect to a server", file=sys.stderr)
+                return 1
+            client.send_grid_map_params(GridMapParams(
+                resolution=float(
+                    _get(settings, "GridMapBuilder/Map/Resolution", 0.05)),
+                min_range=float(
+                    _get(settings, "GridMapBuilder/UsableRangeMin", 0.01)),
+                max_range=float(
+                    _get(settings, "GridMapBuilder/UsableRangeMax", 20.0)),
+                probability_hit=float(
+                    _get(settings, "GridMapBuilder/ProbabilityHit", 0.62)),
+                probability_miss=float(
+                    _get(settings, "GridMapBuilder/ProbabilityMiss", 0.46)),
+            ))
     t0 = time.time()
     processed = 0
     for i, scan in enumerate(scans):
         if slam.process_scan(scan, scan.odom_pose):
             processed += 1
+            if client is not None:
+                times, poses = slam.get_poses_with_times()
+                client.send_pose_array(times, poses)
+                latest = slam.get_latest_scan()
+                if latest is not None:
+                    client.send_scan(latest)
             if args.draw_every and processed % args.draw_every == 0:
                 from ..io import graph_plot
 
@@ -84,6 +127,8 @@ def main(argv=None):
                     f"{time.time()-t0:.1f}s)",
                     file=sys.stderr,
                 )
+    if client is not None:
+        client.disconnect()
     slam.stop_backend()
     wall = time.time() - t0
     print(

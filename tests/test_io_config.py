@@ -175,11 +175,67 @@ def test_launcher_cli_on_synthetic_log(tmp_path):
     log = tmp_path / "synth.log"
     log.write_text("\n".join(lines))
 
+    # Streaming server fixture: the launcher must drive the TCP client
+    # exactly like the reference (slam_launcher.cpp:253-296)
+    import socket
+    import struct
+    import threading
+
+    received = bytearray()
+    server = socket.socket()
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        while True:
+            data = conn.recv(65536)
+            if not data:
+                break
+            received.extend(data)
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    client_settings = tmp_path / "client.json"
+    client_settings.write_text(json.dumps(
+        {"Enabled": True, "Server": {"Address": "127.0.0.1", "Port": port}}
+    ))
+
     out = tmp_path / "out"
     rc = launcher.main([
         str(log), None, str(out), "--map-size", "512", "--crop", "320",
+        "--client", str(client_settings),
     ])
     assert rc == 0
+
+    th.join(timeout=10)
+    server.close()
+    buf = bytes(received)
+    # first message: GridMapParams; then >=1 PoseArray + Scan per keyframe;
+    # final u32 is the stop signal
+    assert struct.unpack_from(">I", buf, 0)[0] == 3  # MSG_GRID_MAP_PARAMS
+    msg_types = []
+    off = 0
+    while off + 4 <= len(buf):
+        t = struct.unpack_from(">I", buf, off)[0]
+        if t == 3:
+            off += 4 + 7 * 8 + 2 * 4
+        elif t == 1:
+            n = struct.unpack_from(">I", buf, off + 4)[0]
+            off += 8 + n * 4 * 8
+        elif t == 2:
+            n = struct.unpack_from(">I", buf, off + 4)[0]
+            off += 8 + 8 * 8 + 2 * n * 8
+        elif t == 0:
+            off += 4
+        else:
+            raise AssertionError(f"unknown message type {t} at {off}")
+        msg_types.append(t)
+    assert off == len(buf), "stream must parse exactly"
+    assert msg_types.count(1) >= 3 and msg_types.count(2) >= 3
+    assert msg_types[-1] == 0  # stop signal on disconnect
     assert (tmp_path / "out.png").exists()
     assert (tmp_path / "out.posegraph.json").exists()
     assert (tmp_path / "out.metric.json").exists()
