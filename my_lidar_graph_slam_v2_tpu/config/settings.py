@@ -43,9 +43,11 @@ def load_settings(path: str) -> Dict:
 
 def create_scan_matcher_from_group(
     settings: Dict, type_name: str, group_name: str, *,
-    resolution: float, n_theta_max: int, crop: int,
+    resolution: float, n_theta_max: int, crop: int, name: str = None,
 ):
-    """Per-type scan matcher creation (``scan_matcher_factory.cpp``)."""
+    """Per-type scan matcher creation (``scan_matcher_factory.cpp``).
+    ``name`` scopes the matcher's metric series like the reference
+    (e.g. ``LocalSlam.ScanMatcherCorrelative``)."""
     from ..matching.correlative import CorrelativeConfig, ScanMatcherCorrelative
     from ..matching.linear_solver import LinearSolverConfig, ScanMatcherLinearSolver
 
@@ -61,7 +63,8 @@ def create_scan_matcher_from_group(
                 n_theta_max=n_theta_max,
                 crop_rows=crop,
                 crop_cols=crop,
-            )
+            ),
+            **(dict(name=name) if name else {}),
         )
     if type_name == "LinearSolver":
         return ScanMatcherLinearSolver(
@@ -70,7 +73,8 @@ def create_scan_matcher_from_group(
                 convergence_threshold=float(g.get("ConvergenceThreshold", 1e-4)),
                 initial_lambda=float(g.get("InitialLambda", 1e-4)),
                 resolution=resolution,
-            )
+            ),
+            **(dict(name=name) if name else {}),
         )
     if type_name == "HillClimbing":
         from ..matching.hill_climbing import (
@@ -193,6 +197,11 @@ def create_slam_from_settings(
         settings, "Frontend/LocalSlam/FinalScanMatcherConfigGroup",
         "Frontend/LocalSlam/FinalScanMatcherLinearSolver",
     )
+    final_matcher = create_scan_matcher_from_group(
+        settings, fsm_type, fsm_group,
+        resolution=res, n_theta_max=n_theta_max, crop=crop,
+        name="LocalSlam.FinalScanMatcherLinearSolver",
+    )
     if fuse_matchers and sm_type == "RealTimeCorrelative" \
             and fsm_type == "LinearSolver":
         # The reference's default two-stage frontend match (correlative
@@ -200,41 +209,28 @@ def create_slam_from_settings(
         # 210-237) compiles into ONE device dispatch — same ops, same
         # results, one host round trip instead of two (the TPU analog of
         # the FPGA matcher's single-offload contract,
-        # scan_matcher_correlative_fpga.cpp:272-364).
-        from ..matching.correlative import CorrelativeConfig
-        from ..matching.linear_solver import LinearSolverConfig
+        # scan_matcher_correlative_fpga.cpp:272-364).  Both configs come
+        # from the same settings parser as the unfused matchers, so the
+        # two paths cannot drift.
         from ..models.fused_matcher import FusedCorrelativeGNMatcher
 
-        g = _get(settings, sm_group, {}) or {}
-        fg = _get(settings, fsm_group, {}) or {}
+        base = create_scan_matcher_from_group(
+            settings, sm_type, sm_group,
+            resolution=res, n_theta_max=n_theta_max, crop=crop,
+            name="LocalSlam.ScanMatcherCorrelative",
+        )
         scan_matcher = FusedCorrelativeGNMatcher(
-            CorrelativeConfig(
-                low_resolution=int(g.get("LowResolutionMapWinSize", 5)),
-                range_x=float(g.get("SearchRangeX", 0.25)),
-                range_y=float(g.get("SearchRangeY", 0.25)),
-                range_theta=float(g.get("SearchRangeTheta", 0.5)),
-                resolution=res,
-                n_theta_max=n_theta_max,
-                crop_rows=crop,
-                crop_cols=crop,
-            ),
-            LinearSolverConfig(
-                num_iterations_max=int(fg.get("NumOfIterationsMax", 10)),
-                convergence_threshold=float(
-                    fg.get("ConvergenceThreshold", 1e-4)),
-                initial_lambda=float(fg.get("InitialLambda", 1e-4)),
-                resolution=res,
-            ),
+            base.cfg, final_matcher.cfg,
+            name="LocalSlam.ScanMatcherCorrelative",
+            final_name="LocalSlam.FinalScanMatcherLinearSolver",
         )
     else:
         scan_matcher = create_scan_matcher_from_group(
             settings, sm_type, sm_group,
             resolution=res, n_theta_max=n_theta_max, crop=crop,
+            name="LocalSlam.ScanMatcherCorrelative"
+            if sm_type == "RealTimeCorrelative" else None,
         )
-    final_matcher = create_scan_matcher_from_group(
-        settings, fsm_type, fsm_group,
-        resolution=res, n_theta_max=n_theta_max, crop=crop,
-    )
     init = _get(settings, "Frontend/InitialPose", {}) or {}
     fe_cfg = FrontendConfig(
         initial_pose=(
@@ -297,12 +293,15 @@ def create_slam_from_settings(
         loop_sm = create_scan_matcher_from_group(
             settings, loop_sm_type, f"{ld_group_name}/ScanMatcher",
             resolution=res, n_theta_max=n_theta_max, crop=loop_crop,
+            name="LoopDetector.ScanMatcherCorrelative"
+            if loop_sm_type == "RealTimeCorrelative" else None,
         )
         loop_final = create_scan_matcher_from_group(
             settings,
             ld.get("FinalScanMatcherType", "LinearSolver"),
             f"{ld_group_name}/FinalScanMatcherLinearSolver",
             resolution=res, n_theta_max=n_theta_max, crop=loop_crop,
+            name="LoopDetector.FinalScanMatcherLinearSolver",
         )
         detector = LoopDetectorCorrelative(
             LoopDetectorConfig(

@@ -285,8 +285,20 @@ class PoseGraphOptimizer:
     (the reference keeps ``mLambda`` across Optimize() calls)."""
 
     def __init__(self, cfg: OptimizerConfig = OptimizerConfig()):
+        from ..metrics.registry import MetricManager
+
         self.cfg = cfg
         self.lam = cfg.initial_lambda
+        # Register the reference series at construction so they appear in
+        # the export even on runs with no loop closure
+        # (pose_graph_optimizer_lm.cpp:17-35)
+        vs = MetricManager.instance().value_sequence
+        pre = "PoseGraphOptimizerLM."
+        self._m = {
+            n: vs(pre + n)
+            for n in ("NumOfIterations", "InitialError", "FinalError",
+                      "NumOfLocalMapNodes", "NumOfScanNodes", "NumOfEdges")
+        }
 
     def optimize(self, map_poses, scan_poses, edges):
         """edges = (map_idx, scan_idx, is_loop, rel, info) as numpy arrays.
@@ -381,13 +393,9 @@ class PoseGraphOptimizer:
 
     def _observe_metrics(self, n_maps, n_scans, n_edges, stats):
         """Parity series with ``pose_graph_optimizer_lm.cpp:17-35``."""
-        from ..metrics.registry import MetricManager
-
-        m = MetricManager.instance()
-        pre = "PoseGraphOptimizerLM."
-        m.value_sequence(pre + "NumOfIterations").observe(stats["iterations"])
-        m.value_sequence(pre + "InitialError").observe(stats["initial_error"])
-        m.value_sequence(pre + "FinalError").observe(stats["error"])
-        m.value_sequence(pre + "NumOfLocalMapNodes").observe(n_maps)
-        m.value_sequence(pre + "NumOfScanNodes").observe(n_scans)
-        m.value_sequence(pre + "NumOfEdges").observe(n_edges)
+        self._m["NumOfIterations"].observe(stats["iterations"])
+        self._m["InitialError"].observe(stats["initial_error"])
+        self._m["FinalError"].observe(stats["error"])
+        self._m["NumOfLocalMapNodes"].observe(n_maps)
+        self._m["NumOfScanNodes"].observe(n_scans)
+        self._m["NumOfEdges"].observe(n_edges)

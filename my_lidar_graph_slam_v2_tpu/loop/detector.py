@@ -63,8 +63,10 @@ class LoopDetectorCorrelative:
     (``loop_detector_correlative.cpp:59-156``)."""
 
     def __init__(self, cfg: LoopDetectorConfig, scan_matcher, final_scan_matcher,
-                 resolution: float = 0.05, map_cache=None):
+                 resolution: float = 0.05, map_cache=None,
+                 name: str = "LoopDetector.Correlative"):
         from ..grid.map_cache import DeviceMapCache
+        from ..metrics.registry import MetricManager
 
         self.cfg = cfg
         self.scan_matcher = scan_matcher
@@ -73,10 +75,23 @@ class LoopDetectorCorrelative:
         # HBM-resident quantized raster cache keyed by (map id, version) —
         # the FPGA BRAM cache analogue (grid/map_cache.py)
         self.map_cache = map_cache or DeviceMapCache(resolution)
+        # Reference series (loop_detector_correlative.cpp:17-35);
+        # PrecompMapMemoryUsage reports the cache's resident HBM bytes
+        # (quantized raster + coarse pools), the analogue of the
+        # reference's precomputed-map stack bytes
+        vs = MetricManager.instance().value_sequence
+        self._m_setup_time = vs(f"{name}.InputSetupTime")
+        self._m_detection_time = vs(f"{name}.LoopDetectionTime")
+        self._m_num_queries = vs(f"{name}.NumOfQueries")
+        self._m_num_detections = vs(f"{name}.NumOfDetections")
+        self._m_precomp_memory = vs(f"{name}.PrecompMapMemoryUsage")
 
     def detect(self, queries) -> List[dict]:
+        import time as _time
+
         results = []
         for q in queries:
+            t0 = _time.perf_counter()
             scan_node = q["query_node"]
             local_map = q["local_map"]
             map_node = q["local_map_node"]
@@ -87,6 +102,10 @@ class LoopDetectorCorrelative:
                 map_node.global_pose, scan_node.global_pose
             )
             arrays = scan_to_arrays(scan_node.scan_data, self.cfg.beam_capacity)
+            self._m_setup_time.observe(
+                int((_time.perf_counter() - t0) * 1e6)
+            )
+            t1 = _time.perf_counter()
             summary = self.scan_matcher.optimize_pose(
                 ScanMatchingQuery(raster, arrays, map_local_pose),
                 score_threshold=self.cfg.score_threshold,
@@ -97,6 +116,9 @@ class LoopDetectorCorrelative:
             final = self.final_scan_matcher.optimize_pose(
                 ScanMatchingQuery(raster, arrays, summary.estimated_pose)
             )
+            self._m_detection_time.observe(
+                int((_time.perf_counter() - t1) * 1e6)
+            )
             results.append(
                 dict(
                     relative_pose=final.estimated_pose,
@@ -106,6 +128,11 @@ class LoopDetectorCorrelative:
                     score=summary.normalized_score,
                 )
             )
+        self._m_num_queries.observe(len(queries))
+        self._m_num_detections.observe(len(results))
+        self._m_precomp_memory.observe(
+            sum(e.nbytes for e in self.map_cache._entries.values())
+        )
         return results
 
 

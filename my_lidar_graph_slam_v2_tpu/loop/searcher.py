@@ -24,7 +24,15 @@ class LoopSearcherConfig:
 
 class LoopSearcherNearest:
     def __init__(self, cfg: LoopSearcherConfig = LoopSearcherConfig()):
+        from ..metrics.registry import MetricManager
+
         self.cfg = cfg
+        # Reference series (loop_searcher_nearest.cpp:14-27); NodeDist is
+        # observed once per returned candidate, as squared distance
+        vs = MetricManager.instance().value_sequence
+        self._m_accum = vs("LoopSearcherNearest.AccumTravelDist")
+        self._m_node_dist = vs("LoopSearcherNearest.NodeDist")
+        self._m_num_candidates = vs("LoopSearcherNearest.NumOfCandidateNodes")
 
     def search(self, hint) -> List[dict]:
         if hint is None:
@@ -56,7 +64,9 @@ class LoopSearcherNearest:
                     stop = True
                     break
                 ref_ids.append(nid)
+        self._m_accum.observe(float(accum))
         if not ref_ids:
+            self._m_num_candidates.observe(0)
             return []
         ref_ids = np.asarray(ref_ids)
         r_pos = scan_poses[ref_ids, :2]
@@ -65,6 +75,7 @@ class LoopSearcherNearest:
         thr2 = self.cfg.node_dist_threshold ** 2
         rr, qq = np.nonzero(d2 < thr2)
         if len(rr) == 0:
+            self._m_num_candidates.observe(0)
             return []
         dists = d2[rr, qq]
         k = min(self.cfg.num_candidate_nodes, len(dists))
@@ -76,9 +87,11 @@ class LoopSearcherNearest:
             map_of[lo : hi + 1] = mid
 
         out = []
+        self._m_num_candidates.observe(len(sel))
         for s in sel:
             rid = int(ref_ids[rr[s]])
             qid = int(q_ids[qq[s]])
+            self._m_node_dist.observe(float(dists[s]))
             out.append(
                 dict(
                     query_node_id=qid,

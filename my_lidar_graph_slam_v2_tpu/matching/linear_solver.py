@@ -32,6 +32,10 @@ class LinearSolverConfig:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _refine_core(cfg, prob, observed, ranges, angles, mask, sensor_pose, offset_xy):
     n = jnp.maximum(jnp.sum(mask).astype(jnp.float32), 1.0)
+    cost0 = gauss_newton.cost(
+        prob, observed, ranges, angles, mask, sensor_pose,
+        cfg.resolution, offset_xy,
+    )
     pose, cost, iters = gauss_newton.gn_refine(
         prob, observed, ranges, angles, mask, sensor_pose,
         cfg.resolution, offset_xy,
@@ -43,17 +47,39 @@ def _refine_core(cfg, prob, observed, ranges, angles, mask, sensor_pose, offset_
         prob, observed, ranges, angles, mask, pose,
         cfg.resolution, offset_xy, cfg.covariance_scale,
     )
-    return pose, cost / n, cov, iters
+    return pose, cost / n, cov, iters, cost0 / n
+
+
+class LinearSolverMetrics:
+    """Reference series set (``scan_matcher_linear_solver.cpp:15-53``)."""
+
+    _NAMES = (
+        "OptimizationTime", "DiffTranslation", "DiffRotation",
+        "NumOfIterations", "InitialCost", "FinalCost", "NumOfScans",
+    )
+
+    def __init__(self, matcher_name: str):
+        from ..metrics.registry import MetricManager
+
+        vs = MetricManager.instance().value_sequence
+        for n in self._NAMES:
+            setattr(self, n, vs(f"{matcher_name}.{n}"))
 
 
 class ScanMatcherLinearSolver:
-    def __init__(self, cfg: LinearSolverConfig):
+    def __init__(self, cfg: LinearSolverConfig,
+                 name: str = "FinalScanMatcherLinearSolver"):
         self.cfg = cfg
+        self.name = name
+        self.metrics = LinearSolverMetrics(name)
 
     def optimize_pose(self, query: ScanMatchingQuery, **_) -> ScanMatchingSummary:
+        import time as _time
+
+        t0 = _time.perf_counter()
         gm, scan = query.grid_map, query.scan
         sensor_pose = P.compound(query.initial_pose, scan.rel_sensor_pose)
-        pose, ncost, cov, _ = _refine_core(
+        pose, ncost, cov, iters, ncost0 = _refine_core(
             self.cfg,
             gm.prob,
             gm.observed,
@@ -64,6 +90,15 @@ class ScanMatcherLinearSolver:
             jnp.asarray(gm.offset_xy, jnp.float32),
         )
         est_pose = P.move_backward(np.asarray(pose, np.float64), scan.rel_sensor_pose)
+        mm = self.metrics
+        mm.OptimizationTime.observe(int((_time.perf_counter() - t0) * 1e6))
+        diff = P.inverse_compound(query.initial_pose, est_pose)
+        mm.DiffTranslation.observe(float(P.distance(diff)))
+        mm.DiffRotation.observe(abs(float(diff[2])))
+        mm.NumOfIterations.observe(int(iters))
+        mm.InitialCost.observe(float(ncost0))
+        mm.FinalCost.observe(float(ncost))
+        mm.NumOfScans.observe(int(np.asarray(scan.mask, bool).sum()))
         return ScanMatchingSummary(
             pose_found=True,
             normalized_cost=float(ncost),

@@ -44,10 +44,12 @@ def _fused_core(
     score_threshold,
     known_rate_threshold,
 ):
-    (csm_pose, score, known, found, _, _, n_proc, n_total) = _correlative_core(
-        ccfg, prob, observed, coarse_p, coarse_o,
-        ranges, angles, mask, sensor_pose, offset_xy,
-        score_threshold, known_rate_threshold,
+    (csm_pose, score, known, found, csm_ncost, _, n_proc, n_total) = (
+        _correlative_core(
+            ccfg, prob, observed, coarse_p, coarse_o,
+            ranges, angles, mask, sensor_pose, offset_xy,
+            score_threshold, known_rate_threshold,
+        )
     )
     n = jnp.maximum(jnp.sum(mask).astype(jnp.float32), 1.0)
     refined, cost, iters = gauss_newton.gn_refine(
@@ -61,7 +63,8 @@ def _fused_core(
         prob, observed, ranges, angles, mask, refined,
         ccfg.resolution, offset_xy, lcfg.covariance_scale,
     )
-    return refined, cov, score, known, found, cost / n, iters, n_proc, n_total
+    return (refined, cov, score, known, found, cost / n, iters, n_proc,
+            n_total, csm_pose, csm_ncost)
 
 
 class FusedCorrelativeGNMatcher:
@@ -75,8 +78,10 @@ class FusedCorrelativeGNMatcher:
         ccfg: CorrelativeConfig,
         lcfg: LinearSolverConfig,
         name: str = "ScanMatcherCorrelativeFused",
+        final_name: str = None,
     ):
         from ..matching.correlative import ScanMatcherCorrelative
+        from ..matching.linear_solver import LinearSolverMetrics
 
         self.ccfg = ccfg
         self.lcfg = lcfg
@@ -86,6 +91,13 @@ class FusedCorrelativeGNMatcher:
         # registry is idempotent, so the series are shared by name.
         self._series = ScanMatcherCorrelative(ccfg, name)
         self.metrics = self._series.metrics
+        # GN-refinement series under the final matcher's name (the fused
+        # dispatch performs both stages; its wall time is attributed to
+        # the correlative OptimizationTime, the final stage's recorded
+        # as 0 since per-stage attribution inside one jit is impossible)
+        self.final_metrics = (
+            LinearSolverMetrics(final_name) if final_name else None
+        )
 
     def coarse_of(self, grid_map):
         return self._series.coarse_of(grid_map)
@@ -115,16 +127,28 @@ class FusedCorrelativeGNMatcher:
             jnp.float32(score_threshold),
             jnp.float32(known_rate_threshold),
         )
-        (refined, cov, score, known, found, ncost, iters, n_proc, n_total) = (
-            jax.device_get(out)
-        )
+        (refined, cov, score, known, found, ncost, iters, n_proc, n_total,
+         csm_pose, csm_ncost) = jax.device_get(out)
         est = P.move_backward(np.asarray(refined, np.float64), scan.rel_sensor_pose)
         self.metrics.OptimizationTime.observe(
             int((_time.perf_counter() - t1) * 1e6)
         )
-        self._series._observe_metrics(
-            query, scan, est, score, ncost, int(n_proc), int(n_total)
+        csm_est = P.move_backward(
+            np.asarray(csm_pose, np.float64), scan.rel_sensor_pose
         )
+        self._series._observe_metrics(
+            query, scan, csm_est, score, csm_ncost, int(n_proc), int(n_total)
+        )
+        if self.final_metrics is not None:
+            fm = self.final_metrics
+            fm.OptimizationTime.observe(0)  # fused into the dispatch above
+            diff = P.inverse_compound(csm_est, est)
+            fm.DiffTranslation.observe(float(P.distance(diff)))
+            fm.DiffRotation.observe(abs(float(diff[2])))
+            fm.NumOfIterations.observe(int(iters))
+            fm.InitialCost.observe(float(csm_ncost))
+            fm.FinalCost.observe(float(ncost))
+            fm.NumOfScans.observe(int(np.asarray(scan.mask, bool).sum()))
         return ScanMatchingSummary(
             pose_found=bool(found),
             normalized_cost=float(ncost),

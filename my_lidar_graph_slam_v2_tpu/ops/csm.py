@@ -268,13 +268,38 @@ def sweep_from_hits(
             parts.append((inp - hi.astype(jnp.float32)).astype(jnp.bfloat16))
         hit_c = hit_img
 
-    if ny * nx <= 256:
-        # Small windows (the frontend hot path): express the window sweep
-        # as one matmul against explicitly shifted map patches — measured
-        # ~1.6x faster than XLA's conv lowering for near-input-sized
-        # kernels on TPU.
-        T_dim = hit_c.shape[0]
-        hit_flat = hit_c.reshape(T_dim, -1)
+    # The window sweep is expressed as matmuls against explicitly shifted
+    # map patches — measured ~1.6x faster than XLA's conv lowering for
+    # near-input-sized kernels on small windows, and ~80x faster at loop
+    # windows (55x55x128theta, where the conv lowering collapsed to
+    # 3.5 candidates/s on a v5e).  Small windows (the frontend hot path)
+    # unroll statically into one matmul; large windows run a lax.scan
+    # over <=256-offset chunks — one compiled body regardless of window
+    # size, with the transient patch matrix held to a few hundred MB.
+    T_dim = hit_c.shape[0]
+    hit_flat = hit_c.reshape(T_dim, -1)
+    n_off = ny * nx
+
+    if n_off > 256 and jax.default_backend() == "cpu":
+        # XLA:CPU's Eigen-backed conv beats the chunked patch matmul for
+        # big windows on host (the reverse of the TPU, where the conv
+        # lowering is ~11x slower); trace-time backend dispatch.
+        out = None
+        for part in parts:
+            o = jax.lax.conv_general_dilated(
+                part[:, None, :, :],  # [2, 1, in_rows, in_cols]
+                hit_c[:, None, :, :],  # [T, 1, crop_rows, crop_cols]
+                window_strides=(stride, stride),
+                padding="VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32,
+            )  # [2, T, ny, nx]
+            out = o if out is None else out + o
+        if scale is not None:
+            out = out * scale
+        return out[0], out[1]
+
+    if n_off <= 256:
         out = None
         for part in parts:
             sl = [
@@ -299,21 +324,40 @@ def sweep_from_hits(
         known = out[:, 1, :].reshape(-1, ny, nx)
         return scores, known
 
-    out = None
-    for part in parts:
-        o = jax.lax.conv_general_dilated(
-            part[:, None, :, :],  # [2, 1, in_rows, in_cols]
-            hit_c[:, None, :, :],  # [T, 1, crop_rows, crop_cols]
-            window_strides=(stride, stride),
-            padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
-        )  # [2, T, ny, nx]
-        out = o if out is None else out + o
+    chunk = 256
+    n_chunks = (n_off + chunk - 1) // chunk
+    jj, ii = jnp.divmod(jnp.arange(n_chunks * chunk, dtype=jnp.int32), nx)
+    off_chunks = jnp.stack([jj, ii], -1).reshape(n_chunks, chunk, 2)
+
+    def one_patch(part, j, i):
+        return jax.lax.dynamic_slice(
+            part, (jnp.int32(0), j * stride, i * stride),
+            (2, crop_rows, crop_cols),
+        ).reshape(2, -1)
+
+    def chunk_body(_, offs):
+        acc = None
+        for part in parts:
+            patches = jax.vmap(
+                lambda j, i: one_patch(part, j, i)
+            )(offs[:, 0], offs[:, 1])  # [chunk, 2, K]
+            o = jax.lax.dot_general(
+                hit_flat,
+                patches,
+                dimension_numbers=(((1,), (2,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, chunk, 2]
+            acc = o if acc is None else acc + o
+        return None, acc
+
+    _, outs = jax.lax.scan(chunk_body, None, off_chunks)
+    # outs: [n_chunks, T, chunk, 2] -> [T, n_chunks*chunk, 2]
+    out = jnp.moveaxis(outs, 0, 1).reshape(T_dim, n_chunks * chunk, 2)
+    out = out[:, :n_off, :]
     if scale is not None:
         out = out * scale
-    scores = out[0]
-    known = out[1]
+    scores = out[:, :, 0].reshape(-1, ny, nx)
+    known = out[:, :, 1].reshape(-1, ny, nx)
     return scores, known
 
 

@@ -145,10 +145,21 @@ class DistributedPoseGraphOptimizer:
     Schur pairs local), pads shards, runs the distributed LM."""
 
     def __init__(self, mesh: Mesh, cfg: OptimizerConfig = OptimizerConfig()):
+        from ..metrics.registry import MetricManager
+
         self.mesh = mesh
         self.cfg = cfg
         self.lam = cfg.initial_lambda
         self._cache = {}
+        # Same reference series as the single-chip LM
+        # (pose_graph_optimizer_lm.cpp:17-35)
+        vs = MetricManager.instance().value_sequence
+        pre = "PoseGraphOptimizerLM."
+        self._m = {
+            n: vs(pre + n)
+            for n in ("NumOfIterations", "FinalError",
+                      "NumOfLocalMapNodes", "NumOfScanNodes", "NumOfEdges")
+        }
 
     def optimize(self, map_poses, scan_poses, edges):
         map_idx, scan_idx, is_loop, rel, info = edges
@@ -256,6 +267,11 @@ class DistributedPoseGraphOptimizer:
                 for a in (mp2, sp2, err, lam, iters)
             )
         self.lam = float(lam)
+        self._m["NumOfIterations"].observe(int(iters))
+        self._m["FinalError"].observe(float(err))
+        self._m["NumOfLocalMapNodes"].observe(M)
+        self._m["NumOfScanNodes"].observe(N)
+        self._m["NumOfEdges"].observe(E)
         return (
             np.asarray(mp2[:M], np.float64),
             np.asarray(sp2[:N], np.float64),

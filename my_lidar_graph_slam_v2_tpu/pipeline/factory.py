@@ -68,9 +68,13 @@ def create_default_backend(
             n_theta_max=n_theta_max,
             crop_rows=crop,
             crop_cols=crop,
-        )
+        ),
+        name="LoopDetector.ScanMatcherCorrelative",
     )
-    final_matcher = ScanMatcherLinearSolver(LinearSolverConfig(resolution=resolution))
+    final_matcher = ScanMatcherLinearSolver(
+        LinearSolverConfig(resolution=resolution),
+        name="LoopDetector.FinalScanMatcherLinearSolver",
+    )
     detector = LoopDetectorCorrelative(
         LoopDetectorConfig(
             score_threshold=score_threshold,
@@ -131,11 +135,17 @@ def create_default_slam(
         scan_matcher = FusedCorrelativeGNMatcher(
             CorrelativeConfig(**matcher_cfg),
             LinearSolverConfig(resolution=resolution),
+            name="LocalSlam.ScanMatcherCorrelative",
+            final_name="LocalSlam.FinalScanMatcherLinearSolver",
         )
     else:
-        scan_matcher = ScanMatcherCorrelative(CorrelativeConfig(**matcher_cfg))
+        scan_matcher = ScanMatcherCorrelative(
+            CorrelativeConfig(**matcher_cfg),
+            name="LocalSlam.ScanMatcherCorrelative",
+        )
     final_matcher = ScanMatcherLinearSolver(
-        LinearSolverConfig(resolution=resolution)
+        LinearSolverConfig(resolution=resolution),
+        name="LocalSlam.FinalScanMatcherLinearSolver",
     )
     fe_cfg = FrontendConfig(
         beam_capacity=beam_capacity,
@@ -190,7 +200,8 @@ def create_distributed_backend(
         crop_cols=crop,
     )
     final_matcher = ScanMatcherLinearSolver(
-        LinearSolverConfig(resolution=resolution)
+        LinearSolverConfig(resolution=resolution),
+        name="LoopDetector.FinalScanMatcherLinearSolver",
     )
     detector = LoopDetectorShardedCorrelative(
         LoopDetectorConfig(

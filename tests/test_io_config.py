@@ -249,6 +249,21 @@ def test_launcher_cli_on_synthetic_log(tmp_path):
     assert int(seq["NumOfSamples"]) >= 3
     assert len(seq["Values"].split()) == int(seq["NumOfSamples"])
 
+    # Observability parity gate: every series the reference binary emits
+    # (committed h2h artifact) must be present in our export
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    ref_metric = repo / "h2h" / "ref_synth3.metric.json"
+    if ref_metric.exists():
+        r = subprocess.run(
+            [_sys.executable, str(repo / "scripts" / "metric_diff.py"),
+             str(ref_metric), str(tmp_path / "out.metric.json")],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+
 
 def test_pose_graph_svg_live_view(tmp_path):
     """GnuplotHelper replacement (gnuplot_helper.cpp:22-77): SVG frame
