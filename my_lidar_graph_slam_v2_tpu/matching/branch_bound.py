@@ -1,29 +1,41 @@
-"""Branch-and-bound scan matcher (level-synchronous TPU formulation).
+"""Branch-and-bound scan matcher (bound-ordered block descent on TPU).
 
 The reference (``mapping/scan_matcher_branch_bound.cpp:111-278``) runs a
-best-first priority queue over a coarse-to-fine map pyramid (heights
+best-first priority queue over a coarse-to-fine max pyramid (heights
 0..node_height_max, window 2^h), with 4-way spatial splits and full theta
 enumeration at the root.  Its bounds are admissible (the pyramid stores
 window maxima), so the search returns exactly the leaf that maximizes the
-fine score subject to the per-node gates:
+fine score subject to the per-node gates.
 
-* a leaf wins iff its fine score beats the running max AND its own (fine)
-  known rate exceeds the threshold;
-* ancestors only ever prune — never change the winner — because their
-  coarse score/known-rate upper-bound their children's.
+TPU formulation (this module): a data-dependent best-first QUEUE cannot
+run inside one XLA program, but a data-dependent TRIP COUNT can — via
+``lax.while_loop``:
 
-On TPU the data-dependent queue is hostile to XLA (SURVEY.md section 7,
-hard part 2), so the equivalent *level-synchronous* computation is used:
-evaluate every level of the pyramid as one dense strided sweep (each is a
-single MXU correlation); the coarse levels reproduce the reference's
-pruning exactly as eligibility masks, and the winner is the gated fine
-argmax.  Dense level sweeps are geometric in total cost (sum_h T *
-(W/2^h)^2 ~ 4/3 the finest level), so dropping the queue costs at most
-~1.3x the work the reference's *worst case* does while being fully
-parallel; the pyramid bounds still matter for the threshold semantics.
+1. one strided sweep of the level-h pyramid scores every 2^h-cell block
+   across all thetas (one small MXU matmul) — each block's max over theta
+   is an admissible upper bound on every leaf inside it;
+2. blocks are sorted by bound, descending;
+3. a ``while_loop`` fine-sweeps one block per iteration (all thetas, one
+   64-offset matmul at h=3) and stops as soon as the next block's bound
+   cannot beat the running best (or fails the score threshold) — exactly
+   the reference's prune rule, so the returned leaf is the same gated
+   argmax the dense sweep finds.
 
-Search-window coverage mirrors the reference: blocks of 2^h_max cells from
--win, i.e. fine offsets span [-win, -win + n_blocks * 2^h_max).
+Measured on a v5e at the 2.5 m loop window (1024^2 u8 map, 128 thetas):
+dense sweep 26.8 ms; this search 4.4 ms in the single-surviving-block
+case (``results_bb_pyramid.json``, scripts/eval_bb_pyramid.py) — the
+pyramid prune is worth ~6x at loop windows, the opposite of small
+frontend windows where dense-in-one-matmul wins.
+
+Block granularity: pruning bounds are evaluated at height
+``min(node_height_max, 3)`` (8-cell blocks) — coarser levels make the
+root bound vacuous at typical windows, finer ones spend more on bound
+evaluation than they prune; the reference's multi-level splits collapse
+to this single bound level without changing the winner (its intermediate
+levels only ever prune supersets of what the finest bound level prunes).
+
+Search-window coverage mirrors the reference: blocks of 2^h cells from
+-win, i.e. fine offsets span [-win, -win + n_blocks * 2^h).
 """
 from __future__ import annotations
 
@@ -60,9 +72,14 @@ class BranchBoundConfig:
         return wx, wy
 
     @property
+    def bound_height(self):
+        """Pyramid level used for pruning bounds (see module docstring)."""
+        return max(1, min(self.node_height_max, 3))
+
+    @property
     def blocks(self):
         wx, wy = self.win_cells
-        step = 1 << self.node_height_max
+        step = 1 << self.bound_height
         nbx = (2 * wx) // step + 1
         nby = (2 * wy) // step + 1
         return nbx, nby
@@ -83,8 +100,7 @@ def _branch_bound_core(
 ):
     wx, wy = cfg.win_cells
     nbx, nby = cfg.blocks
-    top = 1 << cfg.node_height_max
-    nxf, nyf = nbx * top, nby * top
+    block = 1 << cfg.bound_height
     T = cfg.n_theta_max
 
     step_theta, theta0, theta_mask = csm.theta_search_params(
@@ -93,42 +109,81 @@ def _branch_bound_core(
     n_valid = jnp.maximum(jnp.sum(mask).astype(jnp.float32), 1.0)
     norm = 1.0 / n_valid
 
-    common = dict(
-        ranges=ranges,
-        angles=angles,
-        beam_mask=mask,
-        sensor_pose=sensor_pose,
-        theta0_index=theta0,
-        step_theta=step_theta,
-        theta_mask=theta_mask,
-        x0=jnp.int32(-wx),
-        y0=jnp.int32(-wy),
-        resolution=cfg.resolution,
-        offset_xy=offset_xy,
+    # Shared hit images (one build for the bound sweep + every block)
+    hr, hc, valid, r0, c0 = csm.beam_cells(
+        ranges, angles, mask, sensor_pose, theta0, step_theta, theta_mask,
+        cfg.resolution, offset_xy,
+        n_theta=T, crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
     )
-
-    # Ancestor (pyramid) gates never change the winner: a coarse node's
-    # score and known-rate upper-bound every descendant's (window-max maps),
-    # so "ancestor pruned" implies "leaf fails its own gate".  The winner is
-    # therefore exactly the gated fine argmax, evaluated as one dense sweep
-    # (the pyramid's job — skipping work — is obviated by evaluating the
-    # level as a single MXU correlation; per-level sweeps would re-build the
-    # T x crop^2 hit image once per level for no result change).
-    eligible = theta_mask[:, None, None] & jnp.ones((T, nyf, nxf), bool)
-
-    f_scores, f_known = csm.csm_sweep(
-        prob, observed, n_theta=T, nx=nxf, ny=nyf, stride=1,
+    hit_img = csm.build_hit_images(
+        hr, hc, valid, theta_mask,
         crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
-        precision=cfg.precision, **common,
     )
-    eligible &= (f_known * norm > known_rate_threshold)
-    s_txy = jnp.where(eligible, f_scores, -jnp.inf).transpose(0, 2, 1)
-    flat = s_txy.reshape(-1)
-    best = jnp.argmax(flat)
-    bt = best // (nxf * nyf)
-    bx = (best // nyf) % nxf
-    by = best % nyf
-    best_score = flat[best] * norm
+    x0 = jnp.int32(-wx)
+    y0 = jnp.int32(-wy)
+
+    # 1. admissible block bounds from the level-h pyramid (window maxima
+    #    upper-bound every leaf; PrecomputeGridMaps analogue)
+    pyr_p = pool.pyramid(prob, cfg.bound_height)[-1]
+    pyr_o = pool.pyramid(observed, cfg.bound_height)[-1]
+    c_scores, c_known = csm.sweep_from_hits(
+        hit_img, r0, c0, pyr_p, pyr_o, x0, y0,
+        nx=nbx, ny=nby, stride=block, precision=cfg.precision,
+    )  # [T, nby, nbx] sums
+    # known-rate bound gate (coarse known upper-bounds leaf known)
+    known_ok = (c_known * norm > known_rate_threshold)
+    bound = jnp.max(
+        jnp.where(theta_mask[:, None, None] & known_ok, c_scores, -jnp.inf),
+        axis=0,
+    ).reshape(-1)  # [nby*nbx]
+
+    # 2. blocks in descending-bound order
+    order = jnp.argsort(-bound)
+    n_blocks = nby * nbx
+    thr_sum = score_threshold * n_valid  # gates compare score SUMS
+
+    # 3. fine-sweep blocks until the next bound cannot win (the
+    #    reference's prune rule; exact, data-dependent trip count)
+    def cond(state):
+        i, best_sum, _, _, _ = state
+        return (i < n_blocks) & (
+            bound[order[jnp.minimum(i, n_blocks - 1)]]
+            > jnp.maximum(best_sum, thr_sum)
+        )
+
+    def body(state):
+        i, best_sum, bt, bx, by = state
+        blk = order[i]
+        bj = blk // nbx
+        bi = blk % nbx
+        fx0 = x0 + (bi * block).astype(jnp.int32)
+        fy0 = y0 + (bj * block).astype(jnp.int32)
+        fs, fk = csm.sweep_from_hits(
+            hit_img, r0, c0, prob, observed, fx0, fy0,
+            nx=block, ny=block, stride=1, precision=cfg.precision,
+        )  # [T, block, block]
+        elig = theta_mask[:, None, None] & (fk * norm > known_rate_threshold)
+        s_txy = jnp.where(elig, fs, -jnp.inf).transpose(0, 2, 1)
+        flat = s_txy.reshape(-1)
+        a = jnp.argmax(flat)
+        s = flat[a]
+        at = a // (block * block)
+        ax = (a // block) % block
+        ay = a % block
+        better = s > best_sum
+        return (
+            i + 1,
+            jnp.where(better, s, best_sum),
+            jnp.where(better, at, bt),
+            jnp.where(better, bi * block + ax, bx),
+            jnp.where(better, bj * block + ay, by),
+        )
+
+    init = (jnp.int32(0), jnp.float32(-jnp.inf),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    _, best_sum, bt, bx, by = jax.lax.while_loop(cond, body, init)
+
+    best_score = best_sum * norm
     pose_found = best_score > score_threshold
     # Reference defaults best offsets to 0 when nothing clears the gates
     bx = jnp.where(pose_found, bx - wx, 0)

@@ -65,6 +65,60 @@ def test_branch_bound_recovers_and_matches_dense(scene):
     assert s.normalized_score > 0.4
 
 
+def test_branch_bound_equals_dense_gated_argmax(scene):
+    """The bound-ordered while_loop must return exactly the winner of a
+    dense fine sweep over the same window (the reference's prune rule
+    never changes the argmax)."""
+    import jax.numpy as jnp
+
+    from my_lidar_graph_slam_v2_tpu.matching.branch_bound import (
+        _branch_bound_core,
+    )
+    from my_lidar_graph_slam_v2_tpu.ops import csm
+
+    gm, scan, true_pose = scene
+    init = true_pose + np.array([0.3, -0.3, 0.1])
+    cfg = BranchBoundConfig(
+        node_height_max=4, range_x=1.0, range_y=1.0, range_theta=0.3,
+        n_theta_max=64, crop_rows=384, crop_cols=384,
+    )
+    sensor_pose = jnp.asarray(init, jnp.float32)
+    pose_s, score, found, _, _ = _branch_bound_core(
+        cfg, gm.prob, gm.observed, scan.ranges, scan.angles, scan.mask,
+        sensor_pose, jnp.asarray(gm.offset_xy, jnp.float32),
+        jnp.float32(0.2), jnp.float32(0.1),
+    )
+    assert bool(found)
+
+    # Dense oracle over the identical window/steps
+    wx, wy = cfg.win_cells
+    nbx, nby = cfg.blocks
+    block = 1 << cfg.bound_height
+    T = cfg.n_theta_max
+    step_t, t0i, tmask = csm.theta_search_params(
+        scan.ranges, scan.mask, cfg.resolution, cfg.range_theta, T)
+    hr, hc, valid, r0, c0 = csm.beam_cells(
+        scan.ranges, scan.angles, scan.mask, sensor_pose, t0i, step_t,
+        tmask, cfg.resolution, jnp.asarray(gm.offset_xy, jnp.float32),
+        n_theta=T, crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols)
+    img = csm.build_hit_images(hr, hc, valid, tmask,
+                               crop_rows=cfg.crop_rows,
+                               crop_cols=cfg.crop_cols)
+    fs, fk = csm.sweep_from_hits(
+        img, r0, c0, gm.prob, gm.observed, jnp.int32(-wx), jnp.int32(-wy),
+        nx=nbx * block, ny=nby * block, stride=1, precision=cfg.precision)
+    n = float(np.asarray(scan.mask, bool).sum())
+    elig = np.asarray(tmask)[:, None, None] & (np.asarray(fk) / n > 0.1)
+    s = np.where(elig, np.asarray(fs), -np.inf)
+    assert float(score) == pytest.approx(s.max() / n, abs=1e-5)
+    # winner offsets: recover from the returned sensor pose
+    dx = float(pose_s[0] - sensor_pose[0]) / cfg.resolution
+    dy = float(pose_s[1] - sensor_pose[1]) / cfg.resolution
+    bt, by_, bx_ = np.unravel_index(int(s.argmax()), s.shape)
+    assert round(dx) == bx_ - wx
+    assert round(dy) == by_ - wy
+
+
 def test_branch_bound_threshold_gating(scene):
     gm, scan, true_pose = scene
     init = true_pose + np.array([0.3, -0.3, 0.1])
