@@ -40,6 +40,21 @@ def write_carmen_log(scans: List[ScanData], path: str) -> None:
     first = scans[0]
     inc = float(first.angles[1] - first.angles[0]) if len(first.angles) > 1 \
         else _guess_angle_increment(len(first.angles))
+    # The PARAM geometry is written once from scans[0]; a heterogeneous
+    # sequence (e.g. post-ScanAccumulator) would silently mis-reconstruct
+    # every later record, so enforce the docstring's uniformity contract.
+    for i, s in enumerate(scans[1:], start=1):
+        if (len(s.angles) != len(first.angles)
+                or abs(float(s.angles[0]) - float(first.angles[0])) > 1e-9
+                or s.min_range != first.min_range
+                or s.max_range != first.max_range):
+            raise ValueError(
+                f"write_carmen_log requires uniform laser geometry: scan {i} "
+                f"(n={len(s.angles)}, min_angle={float(s.angles[0]):.6f}, "
+                f"range=[{s.min_range}, {s.max_range}]) differs from scan 0 "
+                f"(n={len(first.angles)}, "
+                f"min_angle={float(first.angles[0]):.6f}, "
+                f"range=[{first.min_range}, {first.max_range}])")
     with open(path, "w") as f:
         f.write("# synthetic log exported by my_lidar_graph_slam_v2_tpu\n")
         f.write(f"PARAM Laser.MinRange {first.min_range:.6f}\n")

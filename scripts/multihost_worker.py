@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--laps", type=float, default=1.25)
     ap.add_argument("--step", type=float, default=0.3)
+    ap.add_argument(
+        "--smoke", action="store_true",
+        help="tiny shapes for the default-tier CI smoke (<30 s)")
     args = ap.parse_args()
 
     from my_lidar_graph_slam_v2_tpu.parallel import multihost
@@ -50,9 +53,16 @@ def main():
     from my_lidar_graph_slam_v2_tpu.pipeline.factory import create_default_slam
 
     mesh = multihost.global_mesh()
+    if args.smoke:
+        n_theta, crop, beams, rows, spb = 16, 128, 61, 256, 96
+        builder_travel = 1.0
+    else:
+        n_theta, crop, beams, rows, spb = 48, 256, 121, 384, 192
+        builder_travel = 1.5
     backend = multihost.create_multihost_backend(
         mesh,
-        usable_range_max=10.0, n_theta_max=48, crop=256, beam_capacity=256,
+        usable_range_max=10.0, n_theta_max=n_theta, crop=crop,
+        beam_capacity=256,
         searcher_overrides=dict(
             travel_dist_threshold=10.0, node_dist_threshold=5.0
         ),
@@ -60,14 +70,14 @@ def main():
     world = synthetic.World.office(seed=21, size=10.0)
     traj = synthetic.loop_trajectory(size=10.0, laps=args.laps, step=args.step)
     seq = synthetic.generate(
-        world, traj, n_beams=121, max_range=10.0,
+        world, traj, n_beams=beams, max_range=10.0,
         range_noise=0.01, odom_noise=(0.05, 0.02), seed=22,
     )
     slam = create_default_slam(
-        map_rows=384, map_cols=384, beam_capacity=256,
-        samples_per_beam=192, usable_range_max=10.0,
-        n_theta_max=48, crop=256, backend=backend,
-        builder_overrides=dict(travel_dist_threshold=1.5),
+        map_rows=rows, map_cols=rows, beam_capacity=256,
+        samples_per_beam=spb, usable_range_max=10.0,
+        n_theta_max=n_theta, crop=crop, backend=backend,
+        builder_overrides=dict(travel_dist_threshold=builder_travel),
     )
     gt = []
     for scan, g in zip(seq.scans, seq.ground_truth):

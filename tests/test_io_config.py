@@ -86,6 +86,36 @@ def test_carmen_reader(tmp_path):
     assert s.time_stamp == pytest.approx(100.0)
 
 
+def test_carmen_writer_rejects_heterogeneous_geometry(tmp_path):
+    """write_carmen_log emits PARAM geometry once (from scans[0]); a
+    sequence with differing beam counts/angles/ranges must be rejected
+    instead of silently mis-written (io/carmen.py uniformity contract)."""
+    import dataclasses
+
+    p = tmp_path / "uniform.log"
+    write_synthetic_carmen(p)
+    scans = [r for r in carmen.read_carmen_log(str(p))
+             if isinstance(r, ScanData)]
+    out = tmp_path / "out.log"
+    carmen.write_carmen_log(scans, str(out))  # uniform: fine
+    assert out.exists()
+
+    bad = list(scans)
+    bad[2] = dataclasses.replace(
+        bad[2], max_range=bad[2].max_range + 5.0)
+    with pytest.raises(ValueError, match="uniform laser geometry"):
+        carmen.write_carmen_log(bad, str(tmp_path / "bad.log"))
+
+    bad2 = list(scans)
+    bad2[1] = dataclasses.replace(
+        bad2[1],
+        angles=bad2[1].angles[:-2],
+        ranges=bad2[1].ranges[:-2],
+    )
+    with pytest.raises(ValueError, match="uniform laser geometry"):
+        carmen.write_carmen_log(bad2, str(tmp_path / "bad2.log"))
+
+
 def test_map_saver_roundtrip(tmp_path):
     from my_lidar_graph_slam_v2_tpu.graph.pose_graph import (
         LocalMapNode,

@@ -34,7 +34,7 @@ def _free_port():
     return port
 
 
-def _spawn(port, pid, nproc):
+def _spawn(port, pid, nproc, *, local_devices=2, extra=()):
     env = dict(os.environ)
     # A clean env per process: the worker sets its own XLA device count
     env.pop("XLA_FLAGS", None)
@@ -44,9 +44,9 @@ def _spawn(port, pid, nproc):
             "--coordinator", f"localhost:{port}",
             "--num-processes", str(nproc),
             "--process-id", str(pid),
-            "--local-devices", "2",
+            "--local-devices", str(local_devices),
             "--platform", "cpu",
-            "--laps", "1.25", "--step", "0.3",
+            *extra,
         ],
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
@@ -56,10 +56,44 @@ def _spawn(port, pid, nproc):
     )
 
 
+def test_two_process_smoke():
+    """Default-tier jax.distributed smoke: 2 procs x 1 device, tiny
+    shapes, few keyframes — catches coordinator/mesh/routing regressions
+    without waiting for the slow-tier full run (VERDICT r2 ask #9)."""
+    port = _free_port()
+    procs = [
+        _spawn(port, pid, 2, local_devices=1,
+               extra=("--smoke", "--laps", "0.5", "--step", "0.45"))
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=120)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        outs.append(json.loads(line))
+
+    r0, r1 = sorted(outs, key=lambda r: r["process_id"])
+    assert r0["num_processes"] == r1["num_processes"] == 2
+    assert r0["global_devices"] == r1["global_devices"] == 2
+    # Lockstep replicated host state across both processes
+    assert r0["keyframes"] == r1["keyframes"] > 0
+    assert r0["loops"] == r1["loops"] >= 0
+    assert r0["trajectory_sum"] == pytest.approx(
+        r1["trajectory_sum"], abs=1e-3
+    )
+
+
 @pytest.mark.slow
 def test_two_process_distributed_slam():
     port = _free_port()
-    procs = [_spawn(port, pid, 2) for pid in range(2)]
+    procs = [_spawn(port, pid, 2, extra=("--laps", "1.25", "--step", "0.3"))
+             for pid in range(2)]
     outs = []
     for p in procs:
         try:
