@@ -81,8 +81,8 @@ class GridMapBuilderConfig:
 @dataclass
 class LocalMap:
     local_map_id: int
-    logodds: object  # [H, W] f32 device
-    observed: object  # [H, W] bool device
+    logodds: object  # [H, W] f32 device (None once dropped on a non-owner)
+    observed: object  # [H, W] bool device (None once dropped)
     offset_xy: np.ndarray  # (2,) raster offset in the local map frame
     scan_node_id_min: int
     scan_node_id_max: int
@@ -92,8 +92,35 @@ class LocalMap:
     version: int = 0
     # cached coarse maps for loop detection, keyed by window size
     coarse_cache: dict = field(default_factory=dict)
+    # Raster extent, retained as metadata after drop_heavy() so sharded
+    # batch layouts can be computed without the arrays (multi-host Stage
+    # 5b: non-owners keep poses + metadata only).
+    shape: Optional[tuple] = None
+    dropped: bool = False
+
+    def __post_init__(self):
+        if self.shape is None and self.observed is not None:
+            self.shape = tuple(self.observed.shape)
+
+    def drop_heavy(self):
+        """Release the device rasters + pooled coarse maps, keeping ids,
+        offsets and extent.  Used by the multi-host owner-retention policy
+        (parallel/multihost.py): only the owning process of a finished
+        local map keeps its raster; everyone else holds metadata."""
+        if self.observed is not None and self.shape is None:
+            self.shape = tuple(self.observed.shape)
+        self.logodds = None
+        self.observed = None
+        self.coarse_cache.clear()
+        self.dropped = True
 
     def raster(self, resolution: float) -> MapRaster:
+        if self.logodds is None:
+            raise RuntimeError(
+                f"local map {self.local_map_id} raster was dropped by the "
+                "owner-retention policy (owned by another process); route "
+                "the request to its owner"
+            )
         return MapRaster(
             rasterize.prob_map(self.logodds, self.observed),
             self.observed,
@@ -519,11 +546,32 @@ class GridMapBuilder:
 
     # ------------------------------------------------------------------
     def construct_map_from_scans(
-        self, map_pose, entries, rows=None, cols=None, margin_cells=8
+        self, map_pose, entries, rows=None, cols=None, margin_cells=8,
+        offset_xy=None,
     ):
         """Build a map raster covering all given scans; raster size derived
-        from the hit-point bounding box unless given.  Returns MapRaster."""
+        from the hit-point bounding box unless given.  Returns MapRaster.
+
+        Entries whose scan data is ``None`` (dropped by the multi-host
+        owner-retention policy) are skipped, so each process can build its
+        *partial* map from owned scans; partial log-odds rasters built on a
+        shared (rows, cols, offset_xy) extent sum into the exact global map
+        (multihost.construct_global_map_sharded)."""
         cfg = self.cfg
+        entries = [(p, s) for p, s in entries if s is not None]
+        if not entries:
+            if rows is None or offset_xy is None:
+                raise ValueError(
+                    "no scan data held by this process; pass an explicit "
+                    "(rows, cols, offset_xy) extent to build an empty "
+                    "partial map"
+                )
+            lo = jnp.zeros((rows, cols), jnp.float32)
+            obs = jnp.zeros((rows, cols), bool)
+            return MapRaster(
+                rasterize.prob_map(lo, obs), obs, cfg.resolution,
+                np.asarray(offset_xy, np.float64),
+            )
         pts = []
         for node_pose, scan in entries:
             g_sensor = P.compound(node_pose, scan.relative_sensor_pose)
@@ -547,7 +595,9 @@ class GridMapBuilder:
             rows = int(math.ceil((hi_xy[1] - lo_xy[1]) / cfg.resolution / 128.0)) * 128
         lo = jnp.zeros((rows, cols), jnp.float32)
         obs = jnp.zeros((rows, cols), bool)
-        offset = np.asarray(lo_xy, np.float64)
+        offset = np.asarray(
+            lo_xy if offset_xy is None else offset_xy, np.float64
+        )
         lo, obs = self._integrate(lo, obs, offset, map_pose, entries)
         return MapRaster(
             rasterize.prob_map(lo, obs), obs, cfg.resolution, offset

@@ -7,10 +7,11 @@ accelerators driven by host threads" with maps cached accelerator-side
 it from 2 FPGA cores on one board to N devices across P processes/hosts
 via ``jax.distributed``:
 
-* **Replicated host state, sharded device work.**  Every process runs the
-  identical (deterministic) host-side pipeline — pose graph, grid-map
-  builder, frontend — so no host-to-host state synchronization protocol
-  is needed; all cross-host traffic is XLA collectives inside jit.
+* **Replicated control state, owner-sharded heavy state.**  Every
+  process runs the identical (deterministic) host-side pipeline — pose
+  graph poses/edges, builder counters, frontend — so no host-to-host
+  state synchronization protocol is needed; all cross-host traffic is
+  XLA collectives inside jit plus one small per-detect result exchange.
 * **Local-map ownership.**  Local map ``m`` is owned by process
   ``m % P``.  Loop candidates are *routed to the owner*: the global
   candidate batch is laid out so each candidate lands on one of its
@@ -18,6 +19,14 @@ via ``jax.distributed``:
   (``make_array_from_callback`` materializes addressable shards only).
   Per-host raster H2D therefore scales ~1/P, mirroring the reference's
   BRAM map cache keyed by ``LocalMapId``.
+* **Owner retention (SURVEY Stage 5b).**  ``apply_owner_retention``
+  drops the device rasters AND raw scan buffers of finished, aged-out
+  local maps on every process except the owner — non-owners keep poses
+  and metadata only — so per-process memory for a length-T trajectory
+  scales ~T/P instead of T.  The final GN refine of each detected loop
+  runs on the owner and the (tiny) refined poses are exchanged with one
+  ``process_allgather``, keeping the trajectories lockstep without
+  replicated rasters.
 * **Distributed Schur LM over the global axis.**  The pose-graph solve
   reuses ``parallel/distributed.py``: edge shards ride ICI within a host,
   the reduced-system psum crosses DCN once per LM iteration.
@@ -79,6 +88,123 @@ def global_mesh() -> Mesh:
 def owner_of(local_map_id: int, num_processes: int) -> int:
     """Owning process of a local map (id-range sharding by modulo)."""
     return int(local_map_id) % num_processes
+
+
+def apply_owner_retention(
+    pose_graph,
+    builder,
+    *,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    keep_last_maps: int = 2,
+) -> dict:
+    """Drop non-owned heavy host state (SURVEY section 5.7 / Stage 5b).
+
+    For every *finished* local map older than the last ``keep_last_maps``
+    maps whose owner is another process, release its device rasters and
+    the raw scan buffers of its scan nodes; poses, edges, ids and extents
+    stay everywhere.  The recent-map window is never touched because the
+    frontend's latest-map rebuild and new-map seeding read the last
+    ``num_scans_for_latest_map`` / ``num_overlapped_scans`` scans
+    (grid_map_builder.cpp:252-276,497-532).
+
+    Call after each processed scan (idempotent, cheap: pure refcount
+    drops).  Returns cumulative holdings for telemetry/tests."""
+    Pn = num_processes if num_processes is not None else jax.process_count()
+    pid = process_id if process_id is not None else jax.process_index()
+    dropped_rasters = dropped_scans = 0
+    if Pn > 1 and builder.local_maps:
+        cutoff_map = len(builder.local_maps) - keep_last_maps
+        # Static safety margin on top of latest_scan_id_min: never drop a
+        # scan the latest-map window or map seeding could still read.
+        n_nodes = len(pose_graph.scan_nodes)
+        keep_from = min(
+            builder.latest_scan_id_min,
+            n_nodes
+            - builder.cfg.num_scans_for_latest_map
+            - builder.cfg.num_overlapped_scans,
+        )
+        # No seed-scan protection is needed: owner checkpoints persist the
+        # owned rasters themselves (pipeline/checkpoint.py saves
+        # ``<prefix>.maps.npz``), so a map never has to be re-rasterized
+        # from scans another process dropped.
+        for lm in builder.local_maps[:cutoff_map]:
+            if not lm.finished or owner_of(lm.local_map_id, Pn) == pid:
+                continue
+            if lm.logodds is not None:
+                lm.drop_heavy()
+                dropped_rasters += 1
+            for nid in range(lm.scan_node_id_min,
+                             min(lm.scan_node_id_max + 1, keep_from)):
+                if pose_graph.scan_nodes[nid].scan_data is not None:
+                    pose_graph.scan_nodes[nid].scan_data = None
+                    dropped_scans += 1
+    return dict(
+        dropped_rasters=dropped_rasters,
+        dropped_scans=dropped_scans,
+        rasters_held=sum(
+            1 for lm in builder.local_maps if lm.logodds is not None
+        ),
+        scan_buffers_held=sum(
+            1 for n in pose_graph.scan_nodes if n.scan_data is not None
+        ),
+    )
+
+
+def construct_global_map_sharded(slam, *, margin_cells: int = 8):
+    """Exact global map under owner-sharded scan retention.
+
+    Each process rasterizes its *owned* scans into a partial log-odds
+    raster on a shared extent derived from the (replicated) scan-node
+    poses, then one ``process_allgather`` sums the partials — log-odds
+    add under per-scan independence, which is exactly how the sequential
+    integration composes (``ConstructGlobalMap``,
+    grid_map_builder.cpp:161-185).  Returns (map_pose, MapRaster)."""
+    import math
+
+    from jax.experimental import multihost_utils
+
+    from ..matching.types import MapRaster
+    from ..ops import rasterize
+
+    pg, builder = slam.pose_graph, slam.builder
+    cfg = builder.cfg
+    nodes = pg.scan_nodes
+    map_pose = nodes[0].global_pose
+    # Shared extent from poses only (replicated on every process)
+    poses_g = pg.scan_poses()
+    local_xy = np.stack(
+        [P2.inverse_compound(map_pose, p)[:2] for p in poses_g]
+    )
+    reach = cfg.usable_range_max + margin_cells * cfg.resolution
+    lo_xy = local_xy.min(0) - reach
+    hi_xy = local_xy.max(0) + reach
+    cols = int(math.ceil((hi_xy[0] - lo_xy[0]) / cfg.resolution / 128.0)) * 128
+    rows = int(math.ceil((hi_xy[1] - lo_xy[1]) / cfg.resolution / 128.0)) * 128
+    entries = [
+        (nd.global_pose, nd.scan_data) for nd in nodes
+        if nd.scan_data is not None
+    ]
+    lo = jnp.zeros((rows, cols), jnp.float32)
+    obs = jnp.zeros((rows, cols), bool)
+    if entries:
+        lo, obs = builder._integrate(lo, obs, lo_xy, map_pose, entries)
+    if jax.process_count() > 1:
+        # Each scan was integrated by exactly one process, so the raw
+        # log-odds partials sum to the global map (exact up to clip
+        # saturation ordering in heavily-observed cells, where both
+        # orderings saturate to the same probability).
+        from ..grid import values as gv
+
+        lo = jnp.clip(
+            multihost_utils.process_allgather(lo).sum(0),
+            gv.LOGODDS_MIN, gv.LOGODDS_MAX,
+        )
+        obs = multihost_utils.process_allgather(obs).any(0)
+    return map_pose, MapRaster(
+        rasterize.prob_map(lo, obs), obs,
+        cfg.resolution, np.asarray(lo_xy, np.float64),
+    )
 
 
 from .mesh import to_global  # noqa: F401  (re-export; used by workers)
@@ -194,8 +320,10 @@ class MultiHostLoopDetector:
 
         # Quantized rasters, ONE cache lookup per distinct owned map
         # (grid/map_cache.py; reference FPGA skips the map transfer on a
-        # BRAM id hit, scan_matcher_correlative_fpga.cpp:254-270)
-        H, W = queries[0]["local_map"].observed.shape
+        # BRAM id hit, scan_matcher_correlative_fpga.cpp:254-270).
+        # Extent from metadata: non-owners may hold no raster at all
+        # (owner retention, Stage 5b).
+        H, W = queries[0]["local_map"].shape
         B = self.cfg.beam_capacity
         sharding = NamedSharding(self.mesh, P(AXIS_CANDIDATES))
         raster_by_slot = {}
@@ -291,28 +419,45 @@ class MultiHostLoopDetector:
             np.asarray(o.addressable_data(0)) for o in out
         )
 
-        results = []
+        # Final GN refine runs ONLY on the owner (it already holds the
+        # cached raster; non-owners may have dropped theirs under the
+        # Stage 5b retention policy), then the tiny refined poses are
+        # exchanged so every process appends identical loop edges.
+        refined = np.zeros((C, 13), np.float64)
         for s, q in sorted(slot_to_query.items()):
             if not found[s]:
                 continue
-            arrays = arrays_by_slot[s]
-            # Owner slots hit the entry staged above; non-owned maps (host
-            # state is replicated) are cached locally for the GN refine.
             raster = raster_by_slot.get(s)
-            if raster is None:
-                raster = self.map_cache.raster(q["local_map"])
+            if raster is None:  # not the owner of this map
+                continue
+            arrays = arrays_by_slot[s]
             est_robot = P2.move_backward(
                 np.asarray(best_pose[s], np.float64), arrays.rel_sensor_pose
             )
             final = self.final.optimize_pose(
                 ScanMatchingQuery(raster, arrays, est_robot)
             )
+            refined[s, :3] = final.estimated_pose
+            refined[s, 3:12] = np.asarray(final.covariance).ravel()
+            refined[s, 12] = 1.0
+        if self.num_processes > 1:
+            from jax.experimental import multihost_utils
+
+            # [P, C, 13]; each row is written by exactly one owner
+            refined = np.asarray(
+                multihost_utils.process_allgather(refined)
+            ).sum(0)
+
+        results = []
+        for s, q in sorted(slot_to_query.items()):
+            if not refined[s, 12]:
+                continue
             results.append(
                 dict(
-                    relative_pose=final.estimated_pose,
+                    relative_pose=refined[s, :3].copy(),
                     local_map_id=q["local_map"].local_map_id,
                     scan_node_id=q["query_node"].node_id,
-                    covariance=final.covariance,
+                    covariance=refined[s, 3:12].reshape(3, 3).copy(),
                     score=float(score[s]),
                 )
             )

@@ -5,11 +5,18 @@ The reference persists only at end-of-run (pose-graph JSON + maps,
 pose-graph JSON (plus raw scan buffers) as the natural mid-run checkpoint
 format.  This module implements exactly that for multi-host/long runs:
 
-* ``save``: pose graph JSON + all scan buffers (npz) + builder counters.
-* ``load``: rebuild the full SLAM state — local map rasters are
-  re-rasterized from their scans via ``construct_map_from_scans`` (valid
-  because map-local scan poses inside a finished local map are invariant,
-  ``grid_map_builder.cpp:440-449``), so no device arrays need serializing.
+* ``save``: pose graph JSON + held scan buffers (npz) + held local-map
+  log-odds rasters (npz) + builder counters.
+* ``load``: restore the saved rasters directly; any local map without a
+  saved raster is re-rasterized from its scans via the invariant
+  map-local poses (``grid_map_builder.cpp:440-449``) when they are held,
+  and restored as a dropped (pose/metadata-only) map otherwise.
+
+Owner-sharded runs (parallel/multihost.py Stage 5b): each process calls
+``save`` with a rank-suffixed prefix and writes only the heavy state it
+still holds, so checkpoint size ALSO scales ~1/P; ``load`` reproduces
+exactly the state the retention policy left.  The union of all per-rank
+checkpoints is the full run state.
 """
 from __future__ import annotations
 
@@ -30,6 +37,8 @@ def save(slam, prefix: str):
     meta = []
     for n in slam.pose_graph.scan_nodes:
         s = n.scan_data
+        if s is None:  # dropped by owner retention: another rank holds it
+            continue
         scans[f"ranges_{n.node_id}"] = s.ranges
         scans[f"angles_{n.node_id}"] = s.angles
         meta.append(
@@ -46,6 +55,15 @@ def save(slam, prefix: str):
             )
         )
     np.savez_compressed(f"{prefix}.scans.npz", **scans)
+    maps = {}
+    for lm in slam.builder.local_maps:
+        if lm.logodds is None:  # dropped on this rank: the owner saves it
+            continue
+        maps[f"lo_{lm.local_map_id}"] = np.asarray(lm.logodds, np.float32)
+        maps[f"obs_{lm.local_map_id}"] = np.packbits(
+            np.asarray(lm.observed, bool), axis=None
+        )
+    np.savez_compressed(f"{prefix}.maps.npz", **maps)
     state = dict(
         scan_meta=meta,
         local_maps=[
@@ -81,6 +99,8 @@ def load(slam, prefix: str):
     pg = map_saver.load_pose_graph(f"{prefix}.posegraph.json")
     state = json.loads(Path(f"{prefix}.state.json").read_text())
     scans = np.load(f"{prefix}.scans.npz")
+    maps_path = Path(f"{prefix}.maps.npz")
+    maps = np.load(maps_path) if maps_path.exists() else {}
     for m in state["scan_meta"]:
         nid = m["node_id"]
         pg.scan_nodes[nid].scan_data = ScanData(
@@ -122,15 +142,32 @@ def load(slam, prefix: str):
             own_map = pg.local_map_nodes[node.local_map_id]
             gp = P.compound(own_map.global_pose, node.local_pose)
             entries.append((gp, node.scan_data))
-        lo, obs = builder._integrate(lo, obs, offset, map_node.global_pose, entries)
-        builder.local_maps.append(
-            LocalMap(
-                mid, lo, obs, offset,
-                scan_node_id_min=lm_meta["scan_min"],
-                scan_node_id_max=lm_meta["scan_max"],
-                finished=lm_meta["finished"],
-            )
+        lm = LocalMap(
+            mid, lo, obs, offset,
+            scan_node_id_min=lm_meta["scan_min"],
+            scan_node_id_max=lm_meta["scan_max"],
+            finished=lm_meta["finished"],
         )
+        if f"lo_{mid}" in maps:
+            # Saved raster: exact, no re-rasterization needed
+            import jax.numpy as jnp
+
+            lm.logodds = jnp.asarray(maps[f"lo_{mid}"])
+            lm.observed = jnp.asarray(
+                np.unpackbits(maps[f"obs_{mid}"], axis=None)[
+                    : lm.logodds.size
+                ].reshape(lm.logodds.shape).astype(bool)
+            )
+        elif all(s is not None for _, s in entries):
+            # Legacy checkpoint without .maps.npz: rebuild from scans
+            lm.logodds, lm.observed = builder._integrate(
+                lo, obs, offset, map_node.global_pose, entries
+            )
+        else:
+            # Owner-sharded checkpoint: this rank never held the map's
+            # heavy state — restore it as the retention policy left it.
+            lm.drop_heavy()
+        builder.local_maps.append(lm)
     builder.accum_travel_dist = state["accum_travel_dist"]
     builder.travel_dist_last_local_map = state["travel_dist_last_local_map"]
 

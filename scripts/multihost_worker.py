@@ -80,14 +80,28 @@ def main():
         builder_overrides=dict(travel_dist_threshold=builder_travel),
     )
     gt = []
+    dropped_rasters = dropped_scans = 0
     for scan, g in zip(seq.scans, seq.ground_truth):
         if slam.process_scan(scan, scan.odom_pose):
             gt.append(g)
+        # Owner-sharded host state (Stage 5b): non-owned aged-out heavy
+        # state is released as the run advances
+        ret = multihost.apply_owner_retention(slam.pose_graph, slam.builder)
+        dropped_rasters += ret["dropped_rasters"]
+        dropped_scans += ret["dropped_scans"]
     slam.stop_backend()
     est = slam.get_trajectory()
     ate = synthetic.ate_rmse(est, np.asarray(gt))
     n_loops = sum(1 for e in slam.pose_graph.edges if e.is_loop)
     detector = backend.loop_detector
+
+    # Sharded-exact global map: partial per-owner rasters summed across
+    # processes (skipped in smoke mode to hold the <30 s budget)
+    global_map_observed_cells = None
+    if not args.smoke:
+        _, gmap = multihost.construct_global_map_sharded(slam)
+        global_map_observed_cells = int(np.asarray(gmap.observed).sum())
+
     print(json.dumps(dict(
         process_id=args.process_id,
         num_processes=jax.process_count(),
@@ -98,6 +112,17 @@ def main():
         trajectory_sum=round(float(np.abs(est).sum()), 4),
         rasterized_map_ids=sorted(detector.rasterized_map_ids),
         all_map_ids=sorted(lm.local_map_id for lm in slam.builder.local_maps),
+        rasters_held_ids=sorted(
+            lm.local_map_id for lm in slam.builder.local_maps
+            if lm.logodds is not None
+        ),
+        scan_buffers_held=sum(
+            1 for n in slam.pose_graph.scan_nodes if n.scan_data is not None
+        ),
+        total_scan_nodes=len(slam.pose_graph.scan_nodes),
+        dropped_rasters=dropped_rasters,
+        dropped_scans=dropped_scans,
+        global_map_observed_cells=global_map_observed_cells,
     )), flush=True)
 
 

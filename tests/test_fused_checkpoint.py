@@ -112,3 +112,79 @@ def test_checkpoint_roundtrip(tmp_path):
     # Resumed trajectory should closely track the uninterrupted run
     err = np.linalg.norm(est_resumed[:, :2] - est_full[:, :2], axis=1)
     assert err.max() < 0.15, err.max()
+
+
+def test_checkpoint_owner_sharded_roundtrip(tmp_path):
+    """Per-owner checkpoint (Stage 5b): after owner retention drops
+    non-owned heavy state, save/load reproduces exactly that state —
+    owned rasters restore bit-exact from .maps.npz, dropped maps come
+    back pose-only, and the union of both ranks' checkpoints covers
+    every map."""
+    from my_lidar_graph_slam_v2_tpu.datasets import synthetic
+    from my_lidar_graph_slam_v2_tpu.parallel.multihost import (
+        apply_owner_retention,
+    )
+    from my_lidar_graph_slam_v2_tpu.pipeline import checkpoint
+    from my_lidar_graph_slam_v2_tpu.pipeline.factory import create_default_slam
+
+    world = synthetic.World.office(seed=4, size=10.0)
+    traj = synthetic.loop_trajectory(size=10.0, laps=0.6, step=0.25)
+    seq = synthetic.generate(world, traj, n_beams=121, max_range=10.0, seed=5)
+
+    def make():
+        return create_default_slam(
+            map_rows=384, map_cols=384, beam_capacity=256,
+            samples_per_beam=192, usable_range_max=10.0,
+            n_theta_max=32, crop=256,
+            builder_overrides=dict(
+                travel_dist_threshold=1.0,
+                num_scans_for_latest_map=4,
+                num_overlapped_scans=4,
+            ),
+        )
+
+    held_by_rank = {}
+    for rank in (0, 1):
+        slam = make()
+        for s in seq.scans:
+            slam.process_scan(s, s.odom_pose)
+            apply_owner_retention(
+                slam.pose_graph, slam.builder,
+                num_processes=2, process_id=rank,
+            )
+        maps = slam.builder.local_maps
+        held = [lm.local_map_id for lm in maps if lm.logodds is not None]
+        dropped = [lm.local_map_id for lm in maps if lm.logodds is None]
+        assert dropped, "run too short: retention never dropped a map"
+        held_by_rank[rank] = set(held)
+        n_scans_held = sum(
+            1 for n in slam.pose_graph.scan_nodes if n.scan_data is not None
+        )
+        assert n_scans_held < len(slam.pose_graph.scan_nodes)
+
+        prefix = str(tmp_path / f"ckpt_rank{rank}")
+        checkpoint.save(slam, prefix)
+        restored = make()
+        checkpoint.load(restored, prefix)
+        for lm_old, lm_new in zip(maps, restored.builder.local_maps):
+            if lm_old.logodds is None:
+                assert lm_new.logodds is None and lm_new.dropped
+                assert lm_new.shape == lm_old.shape  # metadata retained
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(lm_new.logodds), np.asarray(lm_old.logodds)
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(lm_new.observed), np.asarray(lm_old.observed)
+                )
+        # Scan holdings restore to exactly the retained set
+        for n_old, n_new in zip(
+            slam.pose_graph.scan_nodes, restored.pose_graph.scan_nodes
+        ):
+            assert (n_old.scan_data is None) == (n_new.scan_data is None)
+
+    # Old maps partition by owner; union covers everything
+    all_ids = set(range(len(held_by_rank[0] | held_by_rank[1])))
+    assert held_by_rank[0] | held_by_rank[1] >= all_ids
+    recent = set(sorted(all_ids)[-2:])
+    assert held_by_rank[0] & held_by_rank[1] <= recent

@@ -81,12 +81,39 @@ def test_two_process_smoke():
     r0, r1 = sorted(outs, key=lambda r: r["process_id"])
     assert r0["num_processes"] == r1["num_processes"] == 2
     assert r0["global_devices"] == r1["global_devices"] == 2
-    # Lockstep replicated host state across both processes
+    # Lockstep control state across both processes
     assert r0["keyframes"] == r1["keyframes"] > 0
     assert r0["loops"] == r1["loops"] >= 0
     assert r0["trajectory_sum"] == pytest.approx(
         r1["trajectory_sum"], abs=1e-3
     )
+    _assert_owner_sharded(r0, r1)
+
+
+def _assert_owner_sharded(r0, r1):
+    """Owner retention (Stage 5b): aged-out heavy state is held by its
+    owner only; the union covers every map exactly once."""
+    all_maps = set(r0["all_map_ids"])
+    held0, held1 = set(r0["rasters_held_ids"]), set(r1["rasters_held_ids"])
+    assert held0 | held1 == all_maps
+    # Any map held by both must be in the recent keep-window (last 2)
+    recent = set(sorted(all_maps)[-2:])
+    assert held0 & held1 <= recent
+    for r, held in ((r0, held0), (r1, held1)):
+        pid = r["process_id"]
+        for mid in held - recent:
+            assert mid % 2 == pid, (
+                f"process {pid} retained non-owned old raster {mid}"
+            )
+    if len(all_maps) > 4:
+        # Enough aged-out maps that each process must have dropped rasters
+        for r in (r0, r1):
+            assert r["dropped_rasters"] > 0
+    if r0["total_scan_nodes"] > 40:
+        # Long enough that scans age past the latest-map + seed safety
+        # margin (num_scans_for_latest_map + num_overlapped_scans = 20)
+        for r in (r0, r1):
+            assert r["scan_buffers_held"] < r["total_scan_nodes"]
 
 
 @pytest.mark.slow
@@ -132,3 +159,15 @@ def test_two_process_distributed_slam():
             assert mid % 2 == pid, (
                 f"process {pid} rasterized non-owned map {mid}"
             )
+
+    # Owner retention (Stage 5b): per-process heavy state scales ~1/P
+    _assert_owner_sharded(r0, r1)
+    held_frac = [
+        len(r["rasters_held_ids"]) / len(r["all_map_ids"]) for r in (r0, r1)
+    ]
+    assert max(held_frac) < 0.75, held_frac  # ~1/2 + recent window
+
+    # Sharded-exact global map: both processes computed the identical
+    # summed map from owner-partial rasters
+    assert r0["global_map_observed_cells"] == r1["global_map_observed_cells"]
+    assert r0["global_map_observed_cells"] > 0
