@@ -170,6 +170,13 @@ class GridMapBuilder:
         self._m_lm_memory = vs("GridMapBuilder.LocalMapMemoryUsage")
         self._m_latest_memory = vs("GridMapBuilder.LatestMapMemoryUsage")
         self._m_pg_memory = vs("GridMapBuilder.PoseGraphMemoryUsage")
+        # Hits landing outside the fixed raster extent are dropped by the
+        # rasterizer (ops/rasterize.py mode="drop"); the pre-sized extent
+        # is travel-bounded so this should stay 0 (SURVEY hard part 3) —
+        # the counter makes any violation visible instead of silent.
+        self._m_oob_hits = MetricManager.instance().counter(
+            "GridMapBuilder.OutOfExtentHits"
+        )
         self.local_maps: List[LocalMap] = []
         self.accum_travel_dist = 0.0
         self.travel_dist_last_local_map = 0.0
@@ -246,6 +253,21 @@ class GridMapBuilder:
             sensors.append(l_sensor[:2])
             hits.append(np.stack([hx, hy], -1))
             masks.append(m)
+        # Count valid hits falling outside the raster (host side, cheap;
+        # the device kernel drops them silently)
+        h_arr = np.asarray(hits)
+        m_arr = np.asarray(masks)
+        cells = np.floor(
+            (h_arr - np.asarray(offset_xy)) / cfg.resolution
+        ).astype(np.int64)
+        rows_n, cols_n = np.asarray(lo.shape)
+        oob = m_arr & (
+            (cells[..., 1] < 0) | (cells[..., 1] >= rows_n)
+            | (cells[..., 0] < 0) | (cells[..., 0] >= cols_n)
+        )
+        n_oob = int(oob.sum())
+        if n_oob:
+            self._m_oob_hits.increment(n_oob)
         lo, obs = rasterize.integrate_scans(
             lo,
             obs,

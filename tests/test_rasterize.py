@@ -170,3 +170,33 @@ def test_incremental_latest_map_parity():
     assert mismatch < 0.005, mismatch
     # observed masks nearly identical
     assert np.mean(np.asarray(ref_obs) != np.asarray(obs)) < 0.005
+
+
+def test_out_of_extent_hits_counted():
+    """Hits beyond the fixed raster extent are dropped by the kernel but
+    must be counted (GridMapBuilder.OutOfExtentHits), not silent."""
+    import numpy as np
+
+    from my_lidar_graph_slam_v2_tpu.grid.builder import (
+        GridMapBuilder,
+        GridMapBuilderConfig,
+    )
+    from my_lidar_graph_slam_v2_tpu.graph.pose_graph import PoseGraph
+    from my_lidar_graph_slam_v2_tpu.sensor.data import ScanData
+
+    cfg = GridMapBuilderConfig(
+        local_map_rows=128, local_map_cols=128, latest_map_rows=128,
+        latest_map_cols=128, beam_capacity=64, samples_per_beam=32,
+        usable_range_max=50.0,
+    )
+    builder = GridMapBuilder(cfg)
+    before = builder._m_oob_hits.value
+    n = 32
+    # 40 m beams vs a 128-cell x 5 cm = 6.4 m raster: all hits land outside
+    scan = ScanData(
+        "lidar", 0.0, np.zeros(3), np.zeros(3), np.zeros(3),
+        0.0, 50.0, -np.pi / 2, np.pi / 2,
+        np.linspace(-np.pi / 2, np.pi / 2, n), np.full(n, 40.0),
+    )
+    builder.append_scan(PoseGraph(), np.zeros(3), np.eye(3) * 1e-6, scan)
+    assert builder._m_oob_hits.value - before >= n
