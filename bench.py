@@ -165,11 +165,16 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
                 pool.sliding_window_max2d(o, cfg.low_resolution))
 
     def prefix(depth):
+        # Each prefix RETURNS its real intermediate arrays (device-side,
+        # not fetched).  Scalar-sum accumulators must not be used here:
+        # XLA's algebraic simplifier rewrites sum(dot(A, B)) into
+        # dot(sum A, sum B) and similar, silently deleting the very work
+        # being timed (burned us in round 4 — probes read 0.03 ms for a
+        # 2.6 ms stage).
         def one(p, o, r, a, m, sp, off):
             cp, co = coarse_maps(p, o)
-            acc = jnp.sum(cp) + jnp.sum(co)
             if depth == 0:
-                return acc
+                return cp, co
             step_t, t0i, tmask = csm.theta_search_params(
                 r, m, cfg.resolution, cfg.range_theta, T)
             hr, hc, valid, r0, c0 = csm.beam_cells(
@@ -178,29 +183,40 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
             hit = csm.build_hit_images(
                 hr, hc, valid, tmask,
                 crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols)
-            acc = acc + jnp.sum(hit)
             if depth == 1:
-                return acc
+                return hit
             x0, y0 = jnp.int32(-wx), jnp.int32(-wy)
             cs, ck = csm.sweep_from_hits(
                 hit, r0, c0, cp, co, x0, y0,
                 nx=nbx, ny=nby, stride=cfg.low_resolution,
                 precision=cfg.precision)
-            acc = acc + jnp.sum(cs) + jnp.sum(ck)
             if depth == 2:
-                return acc
+                return cs, ck
+            # Mirror the production top-K theta prune (matching/
+            # correlative.py): fine-sweep only the K thetas with the
+            # largest coarse upper bound.
+            if 0 < cfg.fine_theta_k < T:
+                bound = jnp.max(
+                    jnp.where(tmask[:, None, None], cs, -jnp.inf),
+                    axis=(1, 2),
+                )
+                _, sel = jax.lax.top_k(bound, cfg.fine_theta_k)
+                hit_sel = jnp.take(hit, sel, axis=0)
+            else:
+                hit_sel = hit
             fs, fk = csm.sweep_from_hits(
-                hit, r0, c0, p, o, x0, y0,
+                hit_sel, r0, c0, p, o, x0, y0,
                 nx=nxf, ny=nyf, stride=1, precision=cfg.precision)
-            acc = acc + jnp.sum(fs) + jnp.sum(fk)
             if depth == 3:
-                return acc
+                return fs, fk, cs, ck
+            # Data-dependent winner pose keeps the chain live
+            win = sp.at[0].add(0.001 * jnp.max(fs))
             cost = gauss_newton.cost(
-                p, o, r, a, m, sp, cfg.resolution, off)
+                p, o, r, a, m, win, cfg.resolution, off)
             cov = gauss_newton.covariance(
-                p, o, r, a, m, sp, cfg.resolution, off,
+                p, o, r, a, m, win, cfg.resolution, off,
                 cfg.covariance_scale)
-            return acc + cost + jnp.sum(cov)
+            return fs, cost, cov
 
         return jax.jit(jax.vmap(one))
 
@@ -208,11 +224,10 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
     t = [_time_jit(prefix(d), iters, *args) for d in range(5)]
 
     def refine(p, o, r, a, m, sp, off):
-        pose, cost, it = gauss_newton.gn_refine(
+        return gauss_newton.gn_refine(
             p, o, r, a, m, sp, cfg.resolution, off,
             max_iterations=10, convergence_threshold=1e-4,
             initial_lambda=1e-4)
-        return jnp.sum(pose) + cost + it
 
     t_gn = _time_jit(jax.jit(jax.vmap(refine)), iters, *args)
 
@@ -236,8 +251,11 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
     else:
         parts = 2 if cfg.precision == "split" else 1
     k = cfg.crop_rows * cfg.crop_cols
-    sweep_flops = lambda nx, ny: 2.0 * T * k * (2 * nx * ny) * parts
-    flops_per_case = sweep_flops(nbx, nby) + sweep_flops(nxf, nyf)
+    fine_rows = cfg.fine_theta_k if 0 < cfg.fine_theta_k < T else T
+    sweep_flops = lambda rows, nx, ny: 2.0 * rows * k * (2 * nx * ny) * parts
+    flops_per_case = (
+        sweep_flops(T, nbx, nby) + sweep_flops(fine_rows, nxf, nyf)
+    )
     sweep_time = t[3] - t[1]  # coarse + fine sweep per batch
     peak = _peak_bf16_flops()
     mfu = (

@@ -41,6 +41,50 @@ def load_settings(path: str) -> Dict:
     return json.loads(Path(path).read_text())
 
 
+def create_cost_config(settings: Dict, cost_type: str, config_group: str):
+    """``CreateCostFunction`` (cost_function_factory.cpp:51-66): CostType
+    in {"SquareError", "GreedyEndpoint"}, parameters from the named
+    CostConfigGroup."""
+    from ..matching.cost import CostConfig
+
+    g = _get(settings, config_group, {}) or {}
+    if cost_type == "SquareError":
+        return CostConfig(
+            cost_type="SquareError",
+            covariance_scale=float(g.get("CovarianceScale", 1e4)),
+        )
+    if cost_type == "GreedyEndpoint":
+        return CostConfig(
+            cost_type="GreedyEndpoint",
+            hit_and_missed_dist=float(g.get("HitAndMissedDist", 0.075)),
+            occupancy_threshold=float(g.get("OccupancyThreshold", 0.1)),
+            kernel_size=int(g.get("KernelSize", 1)),
+            standard_deviation=float(g.get("StandardDeviation", 0.05)),
+            scaling_factor=float(g.get("ScalingFactor", 1.0)),
+        )
+    raise ValueError(f"unknown cost type: {cost_type}")
+
+
+def create_score_config(settings: Dict, score_type: str, config_group: str):
+    """``CreateScoreFunction`` (score_function_factory.cpp): the reference
+    implements exactly one score function (PixelAccurate, parameterless) —
+    anything else is a configuration error."""
+    if score_type != "PixelAccurate":
+        raise ValueError(f"unknown score type: {score_type}")
+    return score_type
+
+
+def _matcher_cost(settings: Dict, g: Dict, default_type: str = "SquareError"):
+    """Per-matcher CostType/CostConfigGroup dispatch
+    (scan_matcher_factory.cpp:30-100)."""
+    cost_type = g.get("CostType", default_type)
+    group = g.get(
+        "CostConfigGroup",
+        "CostSquareError" if cost_type == "SquareError" else "CostGreedyEndpoint",
+    )
+    return create_cost_config(settings, cost_type, group)
+
+
 def create_scan_matcher_from_group(
     settings: Dict, type_name: str, group_name: str, *,
     resolution: float, n_theta_max: int, crop: int, name: str = None,
@@ -52,6 +96,10 @@ def create_scan_matcher_from_group(
     from ..matching.linear_solver import LinearSolverConfig, ScanMatcherLinearSolver
 
     g = _get(settings, group_name, {}) or {}
+    if "ScoreType" in g:
+        create_score_config(
+            settings, g["ScoreType"], g.get("ScoreConfigGroup", "")
+        )
     if type_name == "RealTimeCorrelative":
         return ScanMatcherCorrelative(
             CorrelativeConfig(
@@ -63,15 +111,24 @@ def create_scan_matcher_from_group(
                 n_theta_max=n_theta_max,
                 crop_rows=crop,
                 crop_cols=crop,
+                cost=_matcher_cost(settings, g),
             ),
             **(dict(name=name) if name else {}),
         )
     if type_name == "LinearSolver":
+        # The reference asserts SquareError here
+        # (scan_matcher_factory.cpp:152-156).
+        if g.get("CostType", "SquareError") != "SquareError":
+            raise ValueError(
+                "LinearSolver requires CostType SquareError"
+            )
+        cost = _matcher_cost(settings, g)
         return ScanMatcherLinearSolver(
             LinearSolverConfig(
                 num_iterations_max=int(g.get("NumOfIterationsMax", 10)),
                 convergence_threshold=float(g.get("ConvergenceThreshold", 1e-4)),
                 initial_lambda=float(g.get("InitialLambda", 1e-4)),
+                covariance_scale=cost.covariance_scale,
                 resolution=resolution,
             ),
             **(dict(name=name) if name else {}),
@@ -89,6 +146,7 @@ def create_scan_matcher_from_group(
                 max_iterations=int(g.get("MaxIterations", 100)),
                 max_num_of_refinements=int(g.get("MaxNumOfRefinements", 5)),
                 resolution=resolution,
+                cost=_matcher_cost(settings, g, default_type="GreedyEndpoint"),
             )
         )
     if type_name == "GridSearch":
@@ -105,6 +163,7 @@ def create_scan_matcher_from_group(
                 resolution=resolution,
                 crop_rows=crop,
                 crop_cols=crop,
+                cost=_matcher_cost(settings, g),
             )
         )
     if type_name == "BranchBound":
@@ -123,6 +182,7 @@ def create_scan_matcher_from_group(
                 n_theta_max=n_theta_max,
                 crop_rows=crop,
                 crop_cols=crop,
+                cost=_matcher_cost(settings, g),
             )
         )
     raise ValueError(f"unknown scan matcher type: {type_name}")

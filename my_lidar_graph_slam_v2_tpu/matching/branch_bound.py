@@ -49,6 +49,7 @@ import numpy as np
 
 from ..core import pose as P
 from ..ops import csm, gauss_newton, pool
+from .cost import CostConfig, cost_at, covariance_at
 from .types import ScanMatchingQuery, ScanMatchingSummary
 
 
@@ -64,6 +65,9 @@ class BranchBoundConfig:
     crop_cols: int = 448
     covariance_scale: float = 1e4
     precision: str = "split"
+    # Winner cost/covariance evaluator (reference CostType dispatch,
+    # scan_matcher_factory.cpp:30-100); None = SquareError.
+    cost: CostConfig = None
 
     @property
     def win_cells(self):

@@ -34,6 +34,7 @@ import numpy as np
 
 from ..core import pose as P
 from ..ops import csm, gauss_newton, pool
+from .cost import CostConfig, cost_at, covariance_at
 from .types import MapRaster, ScanArrays, ScanMatchingQuery, ScanMatchingSummary
 
 
@@ -49,6 +50,18 @@ class CorrelativeConfig:
     crop_cols: int = 384
     covariance_scale: float = 1e4
     precision: str = "split"
+    # Winner cost/covariance evaluator (reference: CostType/CostConfigGroup
+    # per matcher group, scan_matcher_factory.cpp:160-189).  None selects
+    # SquareError with this config's covariance_scale.
+    cost: CostConfig = None
+    # Fine sweep runs only the top-K thetas ranked by their coarse upper
+    # bound (0 disables).  Exact whenever the winning fine score beats the
+    # (K+1)-th theta's bound — the sliding-window-max coarse map bounds
+    # every fine score in the block, the same invariant the reference's
+    # prune-then-descend relies on (scan_matcher_correlative.cpp:178-189).
+    # The core reports an `exact` flag; the host wrapper re-runs the dense
+    # sweep on the (rare) inexact case.
+    fine_theta_k: int = 32
 
     @property
     def win_cells(self):
@@ -64,9 +77,12 @@ class CorrelativeConfig:
         return nbx, nby
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg",)
-)
+# NOTE: deliberately NOT @jax.jit.  This core is embedded in larger jitted
+# computations (the fused frontend matcher, the vmapped/sharded batch loop
+# detectors, the benchmark); a nested jit becomes an XLA call boundary
+# that blocks fusion across the hit-image build and sweeps — measured
+# 15.1 ms -> 0.06 ms per batch-8 on TPU v5e when inlined (round 4).
+# Host-side callers use ``correlative_core_jit`` below.
 def _correlative_core(
     cfg: CorrelativeConfig,
     prob,
@@ -80,6 +96,8 @@ def _correlative_core(
     offset_xy,
     score_threshold,
     known_rate_threshold,
+    *,
+    dense: bool = False,
 ):
     wx, wy = cfg.win_cells
     nbx, nby = cfg.blocks
@@ -110,38 +128,70 @@ def _correlative_core(
         hit_img, r0, c0, coarse_prob, coarse_observed, x0, y0,
         nx=nbx, ny=nby, stride=cfg.low_resolution, precision=cfg.precision,
     )
-    f_scores, f_known = csm.sweep_from_hits(
-        hit_img, r0, c0, prob, observed, x0, y0,
-        nx=nxf, ny=nyf, stride=1, precision=cfg.precision,
-    )
 
     # Reference gating: a fine candidate is reachable iff its coarse block
     # beats BOTH thresholds (scan_matcher_correlative.cpp:178-189)
     block_ok = (c_scores * norm > score_threshold) & (
         c_known * norm > known_rate_threshold
-    )  # [T, nby, nbx]
-    ok = jnp.repeat(
-        jnp.repeat(block_ok, cfg.low_resolution, axis=1),
+    ) & theta_mask[:, None, None]  # [T, nby, nbx]
+
+    use_topk = (not dense) and 0 < cfg.fine_theta_k < T
+    if use_topk:
+        # Fine-sweep only the K thetas whose best gated coarse block (an
+        # upper bound on every fine score at that theta) is largest.
+        K = cfg.fine_theta_k
+        bound = jnp.max(
+            jnp.where(block_ok, c_scores, -jnp.inf), axis=(1, 2)
+        )  # [T]
+        kth_bound, sel_theta = jax.lax.top_k(bound, K)
+        kth_bound = kth_bound[K - 1]
+        hit_sel = jnp.take(hit_img, sel_theta, axis=0)
+        ok_rows = jnp.take(block_ok, sel_theta, axis=0)
+    else:
+        sel_theta = jnp.arange(T, dtype=jnp.int32)
+        hit_sel = hit_img
+        ok_rows = block_ok
+
+    f_scores, f_known = csm.sweep_from_hits(
+        hit_sel, r0, c0, prob, observed, x0, y0,
+        nx=nxf, ny=nyf, stride=1, precision=cfg.precision,
+    )  # [R, nyf, nxf] with R = K or T
+
+    eligible = jnp.repeat(
+        jnp.repeat(ok_rows, cfg.low_resolution, axis=1),
         cfg.low_resolution,
         axis=2,
-    )  # [T, nyf, nxf]
-    eligible = ok & theta_mask[:, None, None]
+    )  # [R, nyf, nxf]
 
-    # Order (theta, x, y) to match the reference's loop nesting tie-break
-    scores_txy = jnp.where(
+    # Winner with the reference's (theta, x, y) loop-nesting tie-break:
+    # max score, ties broken by smallest global candidate order.  (The
+    # top-K rows are bound-ordered, so plain first-wins argmax would not
+    # reproduce the dense ordering.)
+    scores_rxy = jnp.where(
         eligible, f_scores, -jnp.inf
-    ).transpose(0, 2, 1)  # [T, nxf, nyf]
-    flat = scores_txy.reshape(-1)
-    best = jnp.argmax(flat)
-    bt, bx, by = (
+    ).transpose(0, 2, 1)  # [R, nxf, nyf]
+    flat = scores_rxy.reshape(-1)
+    best_sum = jnp.max(flat)
+    x_idx = jnp.arange(nxf, dtype=jnp.int32)[None, :, None]
+    y_idx = jnp.arange(nyf, dtype=jnp.int32)[None, None, :]
+    order = (
+        (sel_theta[:, None, None] * nxf + x_idx) * nyf + y_idx
+    ).reshape(-1)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    best = jnp.argmin(jnp.where(flat == best_sum, order, big))
+    rt, bx, by = (
         best // (nxf * nyf),
         (best // nyf) % nxf,
         best % nyf,
     )
-    best_sum = flat[best]
+    bt = sel_theta[rt]
     best_score = best_sum * norm
     best_known = f_known.transpose(0, 2, 1).reshape(-1)[best] * norm
     pose_found = best_score > score_threshold
+    # Exact unless a pruned theta's bound could still beat the winner.
+    exact = (
+        best_sum >= kth_bound if use_topk else jnp.bool_(True)
+    )
 
     best_sensor_pose = jnp.stack(
         [
@@ -152,19 +202,24 @@ def _correlative_core(
         ]
     )
 
-    cost_val = gauss_newton.cost(
-        prob, observed, ranges, angles, mask, best_sensor_pose,
+    ccfg = cfg.cost or CostConfig(covariance_scale=cfg.covariance_scale)
+    cost_val = cost_at(
+        ccfg, prob, observed, ranges, angles, mask, best_sensor_pose,
         cfg.resolution, offset_xy,
     )
-    cov = gauss_newton.covariance(
-        prob, observed, ranges, angles, mask, best_sensor_pose,
-        cfg.resolution, offset_xy, cfg.covariance_scale,
+    cov = covariance_at(
+        ccfg, prob, observed, ranges, angles, mask, best_sensor_pose,
+        cfg.resolution, offset_xy,
     )
     # Candidate accounting (parity with the reference's NumOfProcessedNodes/
     # NumOfIgnoredNodes series, scan_matcher_correlative.cpp:16-71): fine
     # nodes whose coarse block passed both gates were "processed", the rest
-    # of the window was pruned.
-    n_processed = jnp.sum(eligible).astype(jnp.int32)
+    # of the window was pruned.  Counted over the FULL theta window (from
+    # block_ok) so the series is identical under top-K pruning.
+    n_processed = (
+        jnp.sum(block_ok).astype(jnp.int32)
+        * jnp.int32(cfg.low_resolution**2)
+    )
     n_total = (
         jnp.sum(theta_mask).astype(jnp.int32) * jnp.int32(nxf) * jnp.int32(nyf)
     )
@@ -177,7 +232,13 @@ def _correlative_core(
         cov,
         n_processed,
         n_total,
+        exact,
     )
+
+
+correlative_core_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "dense")
+)(_correlative_core)
 
 
 class MatcherMetrics:
@@ -232,22 +293,26 @@ class ScanMatcherCorrelative:
         mm = self.metrics
         mm.InputSetupTime.observe(int((_time.perf_counter() - t0) * 1e6))
         t1 = _time.perf_counter()
-        (pose_s, score, known, found, ncost, cov, n_proc, n_total) = (
-            _correlative_core(
-                self.cfg,
-                gm.prob,
-                gm.observed,
-                coarse_prob,
-                coarse_obs,
-                scan.ranges,
-                scan.angles,
-                scan.mask,
-                jnp.asarray(sensor_pose, jnp.float32),
-                jnp.asarray(gm.offset_xy, jnp.float32),
-                jnp.float32(score_threshold),
-                jnp.float32(known_rate_threshold),
-            )
+        args = (
+            self.cfg,
+            gm.prob,
+            gm.observed,
+            coarse_prob,
+            coarse_obs,
+            scan.ranges,
+            scan.angles,
+            scan.mask,
+            jnp.asarray(sensor_pose, jnp.float32),
+            jnp.asarray(gm.offset_xy, jnp.float32),
+            jnp.float32(score_threshold),
+            jnp.float32(known_rate_threshold),
         )
+        out = correlative_core_jit(*args)
+        if not bool(out[-1]):
+            # Top-K theta prune could not certify the argmax (winning fine
+            # score below the K-th coarse bound) — rare; redo densely.
+            out = correlative_core_jit(*args, dense=True)
+        (pose_s, score, known, found, ncost, cov, n_proc, n_total, _) = out
         est_pose = P.move_backward(
             np.asarray(pose_s, np.float64), scan.rel_sensor_pose
         )

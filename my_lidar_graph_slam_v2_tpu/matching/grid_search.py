@@ -19,6 +19,7 @@ import numpy as np
 
 from ..core import pose as P
 from ..ops import csm, gauss_newton, pool
+from .cost import CostConfig, cost_at, covariance_at
 from .types import ScanMatchingQuery, ScanMatchingSummary
 
 
@@ -35,6 +36,9 @@ class GridSearchConfig:
     crop_cols: int = 448
     covariance_scale: float = 1e4
     precision: str = "split"
+    # Winner cost/covariance evaluator (reference CostType dispatch,
+    # scan_matcher_factory.cpp:30-100); None = SquareError.
+    cost: CostConfig = None
 
     def __post_init__(self):
         if abs(self.step_x - self.resolution) > 1e-9 or abs(

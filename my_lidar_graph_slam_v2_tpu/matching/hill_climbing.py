@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import pose as P
-from ..ops import greedy_endpoint
+from .cost import CostConfig, cost_at, covariance_at
 from .types import ScanMatchingQuery, ScanMatchingSummary
 
 _MOVES = np.array(
@@ -39,38 +39,37 @@ class HillClimbingConfig:
     max_iterations: int = 100
     max_num_of_refinements: int = 5
     resolution: float = 0.05
-    kernel_size: int = 1
-    std_dev: float = 0.05
-    hit_and_missed_dist: float = 0.075
-    occupancy_threshold: float = 0.1
-    scaling_factor: float = 1.0
+    # Cost selected per config like the reference
+    # (scan_matcher_factory.cpp:103-130); the reference default pairs
+    # HillClimbing with CostGreedyEndpoint
+    # (launcher_settings_default.json ScanMatcherHillClimbing group).
+    cost: CostConfig = CostConfig(cost_type="GreedyEndpoint")
 
 
 class ScanMatcherHillClimbing:
     def __init__(self, cfg: HillClimbingConfig):
         self.cfg = cfg
-        kx, ky, kc, kd = greedy_endpoint.make_kernel_tables(
-            cfg.kernel_size, cfg.resolution, cfg.std_dev
-        )
-        self._tables = dict(
-            kernel_ox=kx, kernel_oy=ky, kernel_cost=kc, default_cost=kd
-        )
+        ccfg = cfg.cost
 
         @jax.jit
         def costs_at(prob, observed, ranges, angles, mask, poses, offset_xy):
             def one(p):
-                return greedy_endpoint.cost(
-                    prob, observed, ranges, angles, mask, p,
+                return cost_at(
+                    ccfg, prob, observed, ranges, angles, mask, p,
                     cfg.resolution, offset_xy,
-                    hit_and_missed_dist=cfg.hit_and_missed_dist,
-                    occupancy_threshold=cfg.occupancy_threshold,
-                    scaling_factor=cfg.scaling_factor,
-                    **self._tables,
                 )
 
             return jax.vmap(one)(poses)
 
+        @jax.jit
+        def cov_at(prob, observed, ranges, angles, mask, p, offset_xy):
+            return covariance_at(
+                ccfg, prob, observed, ranges, angles, mask, p,
+                cfg.resolution, offset_xy,
+            )
+
         self._costs_at = costs_at
+        self._cov_at = cov_at
 
     def optimize_pose(self, query: ScanMatchingQuery, **_) -> ScanMatchingSummary:
         cfg = self.cfg
@@ -114,15 +113,9 @@ class ScanMatcherHillClimbing:
 
         n = max(scan.num_valid, 1)
         bp = jnp.asarray(best, jnp.float32)
-
-        def cost_fn(p):
-            return self._costs_at(
-                gm.prob, gm.observed, scan.ranges, scan.angles, scan.mask,
-                p[None], off,
-            )[0]
-
-        _, cov = greedy_endpoint.gradient_and_covariance(
-            cost_fn, bp, cfg.resolution
+        cov = self._cov_at(
+            gm.prob, gm.observed, scan.ranges, scan.angles, scan.mask,
+            bp, off,
         )
         est = P.move_backward(best, scan.rel_sensor_pose)
         return ScanMatchingSummary(

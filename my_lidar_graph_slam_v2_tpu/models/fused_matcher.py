@@ -28,7 +28,7 @@ from ..matching.types import ScanMatchingQuery, ScanMatchingSummary
 from ..ops import gauss_newton, pool
 
 
-@functools.partial(jax.jit, static_argnames=("ccfg", "lcfg"))
+@functools.partial(jax.jit, static_argnames=("ccfg", "lcfg", "dense"))
 def _fused_core(
     ccfg: CorrelativeConfig,
     lcfg: LinearSolverConfig,
@@ -43,12 +43,14 @@ def _fused_core(
     offset_xy,
     score_threshold,
     known_rate_threshold,
+    *,
+    dense: bool = False,
 ):
-    (csm_pose, score, known, found, csm_ncost, _, n_proc, n_total) = (
+    (csm_pose, score, known, found, csm_ncost, _, n_proc, n_total, exact) = (
         _correlative_core(
             ccfg, prob, observed, coarse_p, coarse_o,
             ranges, angles, mask, sensor_pose, offset_xy,
-            score_threshold, known_rate_threshold,
+            score_threshold, known_rate_threshold, dense=dense,
         )
     )
     n = jnp.maximum(jnp.sum(mask).astype(jnp.float32), 1.0)
@@ -64,7 +66,7 @@ def _fused_core(
         ccfg.resolution, offset_xy, lcfg.covariance_scale,
     )
     return (refined, cov, score, known, found, cost / n, iters, n_proc,
-            n_total, csm_pose, csm_ncost)
+            n_total, csm_pose, csm_ncost, exact)
 
 
 class FusedCorrelativeGNMatcher:
@@ -118,7 +120,7 @@ class FusedCorrelativeGNMatcher:
             int((_time.perf_counter() - t0) * 1e6)
         )
         t1 = _time.perf_counter()
-        out = _fused_core(
+        args = (
             self.ccfg, self.lcfg,
             gm.prob, gm.observed, coarse_p, coarse_o,
             scan.ranges, scan.angles, scan.mask,
@@ -127,8 +129,13 @@ class FusedCorrelativeGNMatcher:
             jnp.float32(score_threshold),
             jnp.float32(known_rate_threshold),
         )
+        out = _fused_core(*args)
+        if not bool(out[-1]):
+            # Top-K theta prune could not certify the CSM argmax — rare;
+            # redo with the dense fine sweep (see matching/correlative.py).
+            out = _fused_core(*args, dense=True)
         (refined, cov, score, known, found, ncost, iters, n_proc, n_total,
-         csm_pose, csm_ncost) = jax.device_get(out)
+         csm_pose, csm_ncost, _) = jax.device_get(out)
         est = P.move_backward(np.asarray(refined, np.float64), scan.rel_sensor_pose)
         self.metrics.OptimizationTime.observe(
             int((_time.perf_counter() - t1) * 1e6)

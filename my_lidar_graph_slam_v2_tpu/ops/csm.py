@@ -36,19 +36,9 @@ import numpy as np
 from . import quant
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_theta",
-        "nx",
-        "ny",
-        "stride",
-        "crop_rows",
-        "crop_cols",
-        "precision",
-        "backend",
-    ),
-)
+# NOTE: deliberately NOT @jax.jit — embedded in jitted matcher cores; a
+# nested jit is an XLA call boundary that blocks fusion (measured 200x+
+# full-core slowdown on TPU v5e).  Host callers wrap it in jax.jit.
 def csm_sweep(
     prob: jax.Array,  # [H, W] f32 probability map, 0 = unknown
     observed: jax.Array,  # [H, W] bool

@@ -88,7 +88,8 @@ def _sweep_kernel(
     cols_ref,  # [T_TILE, B] i32
     inp_ref,  # [2, in_rows, in_cols] f32
     out_ref,  # [T_TILE, 2, ny, nx] f32
-    hit_ref,  # scratch [T_TILE, crop_rows, crop_cols] bf16
+    hit_ref,  # scratch [crop_rows, T_TILE, crop_cols] bf16
+    patch_ref,  # scratch [crop_rows, nx, crop_cols] bf16
     *,
     t_tile: int,
     crop_rows: int,
@@ -128,18 +129,17 @@ def _sweep_kernel(
     for ch in range(2):
         for j in range(ny):
             band = inp_ref[ch, j * stride : j * stride + crop_rows, :]
-            # Patch layout [CR, nx, CC]: stacking on the middle axis keeps
-            # the minor (lane) dimension at CC
-            patch = jnp.stack(
-                [
-                    band[:, i * stride : i * stride + crop_cols]
-                    for i in range(nx)
-                ],
-                axis=1,
-            ).astype(jnp.bfloat16)  # [CR, nx, CC]
+            # Patch layout [CR, nx, CC] staged through a VMEM scratch
+            # (stacking lane-offset slices as a vector concat is rejected
+            # by Mosaic: "offset mismatch on non-concat dimension"; a
+            # store normalizes each slice's layout instead).
+            for i in range(nx):
+                patch_ref[:, i, :] = band[
+                    :, i * stride : i * stride + crop_cols
+                ].astype(jnp.bfloat16)
             prod = jax.lax.dot_general(
                 hits,
-                patch,
+                patch_ref[:],
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [CR, t_tile, nx]
@@ -195,6 +195,7 @@ def sweep(
         out_shape=jax.ShapeDtypeStruct((Tp, 2, ny, nx), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((crop_rows, t_tile, crop_cols), jnp.bfloat16),
+            pltpu.VMEM((crop_rows, nx, crop_cols), jnp.bfloat16),
         ],
         interpret=interpret,
     )(rows, cols, inp.astype(jnp.float32))

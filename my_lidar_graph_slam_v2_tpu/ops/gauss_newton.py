@@ -162,27 +162,29 @@ def gn_refine(
     unknown space).  For converging runs the two are identical; ours has
     the same fixed points but cannot diverge.
 
-    Returns (pose, cost, n_iterations)."""
+    Returns (pose, cost, n_iterations).
 
-    def cost_at(p):
-        return cost(prob, observed, ranges, angles, mask, p, resolution, offset_xy)
+    The loop state carries (H, b) of the *accepted* pose, so each
+    iteration performs exactly ONE map-gather pass (the evaluation of
+    H/b/cost at the trial pose) instead of the naive two (H/b at the
+    current pose + cost at the trial pose).  The iterate sequence is
+    identical — H/b at an accepted pose were computed by the iteration
+    that accepted it — but the sequential per-iteration depth (the TPU
+    latency bound of this tiny 3x3 problem) halves."""
 
-    def step(p, lam):
-        H, b, _ = hessian_and_residual(
+    def eval_at(p):
+        return hessian_and_residual(
             prob, observed, ranges, angles, mask, p, resolution, offset_xy
         )
-        H = H + lam * jnp.eye(3, dtype=H.dtype)
-        dp = jnp.linalg.solve(H, b)
-        return p + dp
 
     def cond(state):
-        p, cur_cost, lam, it, done = state
-        return jnp.logical_not(done)
+        return jnp.logical_not(state[-1])
 
     def body(state):
-        p, cur_cost, lam, it, done = state
-        p_new = step(p, lam)
-        c_new = cost_at(p_new)
+        p, cur_cost, H, b, lam, it, done = state
+        Hd = H + lam * jnp.eye(3, dtype=H.dtype)
+        p_new = p + jnp.linalg.solve(Hd, b)
+        H_new, b_new, c_new = eval_at(p_new)
         accept = c_new < cur_cost
         it_new = it + 1
         stop = (it_new >= max_iterations) | (
@@ -190,20 +192,24 @@ def gn_refine(
         )
         p_next = jnp.where(accept, p_new, p)
         c_next = jnp.where(accept, c_new, cur_cost)
+        H_next = jnp.where(accept, H_new, H)
+        b_next = jnp.where(accept, b_new, b)
         lam_new = jnp.where(
             accept,
             jnp.maximum(1e-8, lam * 0.5),
             jnp.minimum(1e6, lam * 4.0),
         )
-        return (p_next, c_next, lam_new, it_new, stop)
+        return (p_next, c_next, H_next, b_next, lam_new, it_new, stop)
 
-    init_cost = cost_at(sensor_pose0)
+    H0, b0, init_cost = eval_at(sensor_pose0)
     state = (
         sensor_pose0,
         init_cost,
+        H0,
+        b0,
         jnp.float32(initial_lambda),
         jnp.int32(0),
         jnp.bool_(False),
     )
-    p, final_cost, _, iters, _ = jax.lax.while_loop(cond, body, state)
+    p, final_cost, _, _, _, iters, _ = jax.lax.while_loop(cond, body, state)
     return p, final_cost, iters

@@ -58,7 +58,11 @@ def _axis_window_max(arr: jax.Array, axis: int, win: int) -> jax.Array:
     return jnp.maximum(g, _shift(g, axis, win - width, fill))
 
 
-@functools.partial(jax.jit, static_argnames=("win",))
+# NOTE: deliberately NOT @jax.jit — this op is called inside other jitted
+# computations (matcher cores, vmapped batch matchers), and a nested jit
+# becomes an XLA call boundary that blocks fusion: measured 200x+ slowdown
+# of the full correlative core on TPU v5e (round 4).  Callers jit at the
+# API boundary.
 def sliding_window_max2d(arr: jax.Array, win: int) -> jax.Array:
     """out[i, j] = max(arr[i:i+win, j:j+win]) with dtype-min padding
     beyond the high edge."""
@@ -73,8 +77,9 @@ def sliding_window_max2d(arr: jax.Array, win: int) -> jax.Array:
     return _axis_window_max(out, arr.ndim - 1, win)
 
 
-@functools.partial(jax.jit, static_argnames=("max_height",))
 def pyramid(arr: jax.Array, max_height: int):
+    # Plain (un-jitted) for the same fusion reason as sliding_window_max2d
+    # above: the branch-and-bound core calls this inside its own jit.
     """Coarse-map pyramid for branch-and-bound: heights 0..max_height with
     window 2^h, all at the original resolution and geometry
     (``PrecomputeGridMaps``, ``grid_map_builder.cpp:986-1012``).

@@ -21,9 +21,25 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import pose as P2
-from ..matching.correlative import CorrelativeConfig, _correlative_core
+from ..matching.correlative import (
+    CorrelativeConfig,
+    _correlative_core,
+    correlative_core_jit,
+)
 from ..ops import pool
 from .mesh import AXIS_CANDIDATES
+
+
+def _coarse_of(raster, low_resolution: int):
+    """Per-raster cached sliding-window-max coarse maps (same cache slot
+    the serial matcher uses, matching/correlative.py:coarse_of)."""
+    key = ("swmax", low_resolution)
+    if key not in raster.coarse:
+        raster.coarse[key] = (
+            pool.sliding_window_max2d(raster.prob, low_resolution),
+            pool.sliding_window_max2d(raster.observed, low_resolution),
+        )
+    return raster.coarse[key]
 
 
 def make_batched_loop_csm(mesh: Mesh, cfg: CorrelativeConfig):
@@ -35,12 +51,14 @@ def make_batched_loop_csm(mesh: Mesh, cfg: CorrelativeConfig):
         coarse_p = pool.sliding_window_max2d(prob, cfg.low_resolution)
         coarse_o = pool.sliding_window_max2d(observed, cfg.low_resolution)
         # Drop the per-candidate node-accounting tail (batch detectors
-        # aggregate their own counters).
-        return _correlative_core(
+        # aggregate their own counters) but keep the top-K exactness flag
+        # so the host can re-run pruned-inexact candidates densely.
+        out = _correlative_core(
             cfg, prob, observed, coarse_p, coarse_o,
             ranges, angles, mask, sensor_pose, offset_xy,
             score_thr, known_thr,
-        )[:6]
+        )
+        return out[:6] + (out[8],)
 
     batched = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
 
@@ -55,6 +73,7 @@ def make_batched_loop_csm(mesh: Mesh, cfg: CorrelativeConfig):
         out_specs=(
             P(AXIS_CANDIDATES), P(AXIS_CANDIDATES), P(AXIS_CANDIDATES),
             P(AXIS_CANDIDATES), P(AXIS_CANDIDATES), P(AXIS_CANDIDATES),
+            P(AXIS_CANDIDATES),
         ),
     )
     return jax.jit(sharded)
@@ -138,10 +157,29 @@ class LoopDetectorShardedCorrelative:
             jnp.float32(self.cfg.score_threshold),
             jnp.float32(self.cfg.known_rate_threshold),
         )
-        best_pose, score, known, found, ncost, cov = (np.asarray(o) for o in out)
+        best_pose, score, known, found, ncost, cov, exact = (
+            np.asarray(o) for o in out
+        )
 
         results = []
         for i, q in enumerate(queries):
+            if not exact[i]:
+                # Top-K theta prune could not certify this candidate's
+                # argmax — redo it densely through the serial core (rare).
+                raster = rasters[q["local_map"].local_map_id]
+                d = correlative_core_jit(
+                    self.mcfg, raster.prob, raster.observed,
+                    *_coarse_of(raster, self.mcfg.low_resolution),
+                    jnp.asarray(rngs[i]), jnp.asarray(angs[i]),
+                    jnp.asarray(msks[i]),
+                    jnp.asarray(poses[i]), jnp.asarray(offs[i]),
+                    jnp.float32(self.cfg.score_threshold),
+                    jnp.float32(self.cfg.known_rate_threshold),
+                    dense=True,
+                )
+                best_pose[i], score[i], known[i], found[i], ncost[i], cov[i] = (
+                    np.asarray(o) for o in d[:6]
+                )
             if not found[i]:
                 continue
             arrays = scan_to_arrays(q["query_node"].scan_data, self.cfg.beam_capacity)

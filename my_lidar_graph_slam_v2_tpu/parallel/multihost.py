@@ -46,7 +46,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import pose as P2
-from ..matching.correlative import CorrelativeConfig, _correlative_core
+from ..matching.correlative import (
+    CorrelativeConfig,
+    _correlative_core,
+    correlative_core_jit,
+)
 from ..ops import pool
 from .mesh import AXIS_CANDIDATES
 
@@ -219,12 +223,14 @@ def make_routed_loop_csm(mesh: Mesh, cfg: CorrelativeConfig):
         coarse_p = pool.sliding_window_max2d(prob, cfg.low_resolution)
         coarse_o = pool.sliding_window_max2d(observed, cfg.low_resolution)
         # Drop the per-candidate node-accounting tail (batch detectors
-        # aggregate their own counters).
-        return _correlative_core(
+        # aggregate their own counters) but keep the top-K exactness flag
+        # so owners can re-run pruned-inexact candidates densely.
+        out = _correlative_core(
             cfg, prob, observed, coarse_p, coarse_o,
             ranges, angles, mask, sensor_pose, offset_xy,
             score_thr, known_thr,
-        )[:6]
+        )
+        return out[:6] + (out[8],)
 
     batched = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
 
@@ -245,7 +251,7 @@ def make_routed_loop_csm(mesh: Mesh, cfg: CorrelativeConfig):
             P(AXIS_CANDIDATES), P(AXIS_CANDIDATES), P(AXIS_CANDIDATES),
             P(AXIS_CANDIDATES), P(), P(),
         ),
-        out_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P()),
         # The tiled all_gather makes every output replicated by value, but
         # the static varying-mesh-axes check cannot infer that.
         check_vma=False,
@@ -415,20 +421,39 @@ class MultiHostLoopDetector:
         )
         # Replicated outputs: every local device holds a full copy, but the
         # global array is not fully addressable in multi-process runs.
-        best_pose, score, known, found, ncost, cov = (
+        best_pose, score, known, found, ncost, cov, exact = (
             np.asarray(o.addressable_data(0)) for o in out
         )
 
         # Final GN refine runs ONLY on the owner (it already holds the
         # cached raster; non-owners may have dropped theirs under the
         # Stage 5b retention policy), then the tiny refined poses are
-        # exchanged so every process appends identical loop edges.
-        refined = np.zeros((C, 13), np.float64)
+        # exchanged so every process appends identical loop edges.  The
+        # owner also resolves pruned-inexact candidates densely, and its
+        # score rides along in the exchange so all processes agree.
+        refined = np.zeros((C, 14), np.float64)
         for s, q in sorted(slot_to_query.items()):
-            if not found[s]:
-                continue
             raster = raster_by_slot.get(s)
             if raster is None:  # not the owner of this map
+                continue
+            if not exact[s]:
+                from .loop_sharded import _coarse_of
+
+                arrays = arrays_by_slot[s]
+                d = correlative_core_jit(
+                    self.mcfg, raster.prob, raster.observed,
+                    *_coarse_of(raster, self.mcfg.low_resolution),
+                    arrays.ranges, arrays.angles, arrays.mask,
+                    jnp.asarray(fill_pose(s, q)),
+                    jnp.asarray(fill_off(s, q)),
+                    jnp.float32(self.cfg.score_threshold),
+                    jnp.float32(self.cfg.known_rate_threshold),
+                    dense=True,
+                )
+                best_pose[s], score[s], found[s] = (
+                    np.asarray(d[0]), float(d[1]), bool(d[3])
+                )
+            if not found[s]:
                 continue
             arrays = arrays_by_slot[s]
             est_robot = P2.move_backward(
@@ -440,10 +465,11 @@ class MultiHostLoopDetector:
             refined[s, :3] = final.estimated_pose
             refined[s, 3:12] = np.asarray(final.covariance).ravel()
             refined[s, 12] = 1.0
+            refined[s, 13] = float(score[s])
         if self.num_processes > 1:
             from jax.experimental import multihost_utils
 
-            # [P, C, 13]; each row is written by exactly one owner
+            # [P, C, 14]; each row is written by exactly one owner
             refined = np.asarray(
                 multihost_utils.process_allgather(refined)
             ).sum(0)
@@ -458,7 +484,7 @@ class MultiHostLoopDetector:
                     local_map_id=q["local_map"].local_map_id,
                     scan_node_id=q["query_node"].node_id,
                     covariance=refined[s, 3:12].reshape(3, 3).copy(),
-                    score=float(score[s]),
+                    score=float(refined[s, 13]),
                 )
             )
         return results

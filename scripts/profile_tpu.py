@@ -93,11 +93,17 @@ def profile_sweep():
     from my_lidar_graph_slam_v2_tpu.ops import csm
 
     args, kw = _sweep_args()
-    s1 = timeit("xla sweep", lambda: csm.csm_sweep(*args, **kw))
+    import functools
+
+    static = tuple(kw) + ("precision", "backend")
+    sweep_jit = functools.partial(jax.jit, static_argnames=static)(
+        csm.csm_sweep
+    )
+    s1 = timeit("xla sweep", lambda: sweep_jit(*args, **kw))
     try:
         s2 = timeit(
             "pallas sweep",
-            lambda: csm.csm_sweep(*args, backend="pallas", **kw),
+            lambda: sweep_jit(*args, backend="pallas", **kw),
         )
         print(
             "pallas agree:",

@@ -373,3 +373,142 @@ def test_map_saver_extended_outputs(tmp_path):
                                     heights=(1, 3))
     assert (tmp_path / "pc.precomp-2.png").exists()
     assert (tmp_path / "pc.precomp-8.png").exists()
+
+
+REFERENCE_SETTINGS = "/root/reference/launcher_settings_default.json"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REFERENCE_SETTINGS),
+    reason="reference settings file not present",
+)
+def test_reference_default_settings_verbatim():
+    """Load the reference's actual ``launcher_settings_default.json``
+    VERBATIM and assert the constructed module graph: module types, search
+    windows, cost-function dispatch (CostType/CostConfigGroup), filter
+    chain, loop searcher/detector, optimizer and grid-map builder
+    parameters (slam_module_factory.cpp:214-244 + the per-module
+    factories)."""
+    from my_lidar_graph_slam_v2_tpu.config.settings import (
+        create_slam_from_settings,
+        load_settings,
+    )
+    from my_lidar_graph_slam_v2_tpu.loop.detector import LoopDetectorCorrelative
+    from my_lidar_graph_slam_v2_tpu.loop.searcher import LoopSearcherNearest
+    from my_lidar_graph_slam_v2_tpu.models.fused_matcher import (
+        FusedCorrelativeGNMatcher,
+    )
+
+    settings = load_settings(REFERENCE_SETTINGS)
+    slam = create_slam_from_settings(settings, map_rows=512, map_cols=512)
+
+    # Frontend: RealTimeCorrelative + LinearSolver final -> fused matcher
+    fe = slam.frontend
+    assert isinstance(fe.scan_matcher, FusedCorrelativeGNMatcher)
+    ccfg = fe.scan_matcher.ccfg
+    assert (ccfg.range_x, ccfg.range_y, ccfg.range_theta) == (0.25, 0.25, 0.5)
+    assert ccfg.low_resolution == 5
+    # ScanMatcherRealTimeCorrelative/CostType = SquareError,
+    # CostSquareError/CovarianceScale = 10000.0
+    assert ccfg.cost.cost_type == "SquareError"
+    assert ccfg.cost.covariance_scale == 10000.0
+    lcfg = fe.scan_matcher.lcfg
+    assert lcfg.num_iterations_max == 10
+    assert lcfg.convergence_threshold == pytest.approx(1e-4)
+    assert lcfg.initial_lambda == pytest.approx(1e-4)
+    assert lcfg.covariance_scale == 10000.0
+    # Frontend thresholds + filter chain
+    assert fe.cfg.update_threshold_travel_dist == 0.5
+    assert fe.cfg.update_threshold_angle == 0.5
+    assert fe.cfg.update_threshold_time == 5.0
+    assert fe.cfg.loop_detection_threshold == 2.5
+    assert fe.cfg.degeneration_threshold == 10.0
+    assert fe.cfg.odometry_covariance_scale == 100.0
+    assert fe.outlier_filter is not None        # UseScanOutlierFilter=true
+    assert fe.interpolator is not None          # UseScanInterpolator=true
+    assert fe.accumulator is None               # UseScanAccumulator=false
+    assert fe.outlier_filter.valid_range_max == 20.0
+    assert fe.interpolator.dist_scans == 0.05
+
+    # Backend: nearest searcher, correlative loop detector, G2O-group
+    # optimizer (mapped onto the same-contract device LM solver)
+    be = slam.backend
+    assert isinstance(be.loop_searcher, LoopSearcherNearest)
+    assert be.loop_searcher.cfg.travel_dist_threshold == 10.0
+    assert be.loop_searcher.cfg.node_dist_threshold == 5.0
+    assert be.loop_searcher.cfg.num_candidate_nodes == 2
+    assert isinstance(be.loop_detector, LoopDetectorCorrelative)
+    assert be.loop_detector.cfg.score_threshold == 0.55
+    assert be.loop_detector.cfg.known_rate_threshold == 0.6
+    lm_cfg = be.loop_detector.scan_matcher.cfg
+    assert (lm_cfg.range_x, lm_cfg.range_y, lm_cfg.range_theta) == (
+        2.5, 2.5, 0.5,
+    )
+    assert lm_cfg.cost.cost_type == "SquareError"
+    # PoseGraphOptimizerType=G2O -> squared loss, its iteration caps
+    assert be.optimizer.cfg.num_iterations_max == 10
+    assert be.optimizer.cfg.loss.kind == "Squared"
+
+    # GridMapBuilder group
+    b = slam.builder.cfg
+    assert b.resolution == 0.05
+    assert b.num_scans_for_latest_map == 10
+    assert b.travel_dist_threshold == 2.5
+    assert b.num_overlapped_scans == 10
+    assert b.usable_range_min == 0.01
+    assert b.usable_range_max == 20.0
+    assert b.probability_hit == 0.62
+    assert b.probability_miss == 0.46
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REFERENCE_SETTINGS),
+    reason="reference settings file not present",
+)
+def test_reference_settings_cost_dispatch_all_matchers():
+    """Every matcher group in the reference file resolves its
+    CostType/CostConfigGroup through the factory: HillClimbing gets
+    GreedyEndpoint (kernel params from CostGreedyEndpoint), the
+    GridSearch loop detector's matcher gets GreedyEndpoint, BranchBound
+    and Correlative get SquareError (scan_matcher_factory.cpp:30-189)."""
+    from my_lidar_graph_slam_v2_tpu.config.settings import (
+        create_scan_matcher_from_group,
+        load_settings,
+    )
+
+    settings = load_settings(REFERENCE_SETTINGS)
+    mk = lambda t, g: create_scan_matcher_from_group(
+        settings, t, g, resolution=0.05, n_theta_max=64, crop=256,
+    )
+
+    hc = mk("HillClimbing", "ScanMatcherHillClimbing")
+    assert hc.cfg.cost.cost_type == "GreedyEndpoint"
+    assert hc.cfg.cost.kernel_size == 1
+    assert hc.cfg.cost.standard_deviation == 0.05
+    assert hc.cfg.cost.hit_and_missed_dist == 0.075
+    assert hc.cfg.linear_step == 0.1
+    assert hc.cfg.max_iterations == 100
+
+    gs = mk("GridSearch", "LoopDetectorGridSearch/ScanMatcher")
+    assert gs.cfg.cost.cost_type == "GreedyEndpoint"
+    assert (gs.cfg.step_x, gs.cfg.step_theta) == (0.05, 0.005)
+
+    bb = mk("BranchBound", "LoopDetectorBranchBound/ScanMatcher")
+    assert bb.cfg.cost.cost_type == "SquareError"
+    assert bb.cfg.node_height_max == 6
+
+    co = mk(
+        "RealTimeCorrelative",
+        "LoopDetectorRealTimeCorrelative/ScanMatcher",
+    )
+    assert co.cfg.cost.cost_type == "SquareError"
+    assert co.cfg.cost.covariance_scale == 10000.0
+
+    # LinearSolver rejects a non-SquareError cost like the reference's
+    # Assert (scan_matcher_factory.cpp:152-156)
+    bad = {"G": {"CostType": "GreedyEndpoint"}}
+    with pytest.raises(ValueError):
+        create_scan_matcher_from_group(
+            bad, "LinearSolver", "G",
+            resolution=0.05, n_theta_max=64, crop=256,
+        )

@@ -207,3 +207,57 @@ def test_gn_refine_unbiased_subcell():
     assert np.all(np.abs(mean_bias) < 0.2 * RES), (
         f"systematic sub-cell bias {mean_bias} m"
     )
+
+
+def test_topk_fine_sweep_matches_dense():
+    """The top-K-theta pruned fine sweep (CorrelativeConfig.fine_theta_k)
+    must reproduce the dense sweep's argmax exactly whenever it reports
+    exact=True, and the host wrapper must fall back to the dense sweep
+    when it cannot certify the winner (tiny K forces that path)."""
+    from my_lidar_graph_slam_v2_tpu.matching.correlative import (
+        _correlative_core,
+    )
+
+    rng = np.random.default_rng(11)
+    true_pose = np.array([0.3, -0.2, 0.15])
+    gm, _ = build_map(
+        [np.array([0.0, 0.0, 0.0])] * 4 + [true_pose] * 4, rng=rng
+    )
+    coarse_p = pool.sliding_window_max2d(gm.prob, 5)
+    coarse_o = pool.sliding_window_max2d(gm.observed, 5)
+
+    for seed in range(4):
+        r2 = np.random.default_rng(100 + seed)
+        pose = true_pose + r2.uniform(-0.08, 0.08, 3)
+        scan = make_scan_arrays(pose, rng=r2)
+        init = pose + r2.uniform(-0.05, 0.05, 3)
+        for k in (1, 4, 32):
+            cfg = CorrelativeConfig(
+                crop_rows=320, crop_cols=320, fine_theta_k=k
+            )
+            args = (
+                cfg, gm.prob, gm.observed, coarse_p, coarse_o,
+                scan.ranges, scan.angles, scan.mask,
+                jnp.asarray(init, jnp.float32),
+                jnp.asarray(gm.offset_xy, jnp.float32),
+                jnp.float32(0.0), jnp.float32(0.0),
+            )
+            topk = _correlative_core(*args)
+            dense = _correlative_core(*args, dense=True)
+            if bool(topk[-1]):  # certified exact: identical winner
+                np.testing.assert_array_equal(
+                    np.asarray(topk[0]), np.asarray(dense[0])
+                )
+                assert float(topk[1]) == float(dense[1])
+            # Host wrapper result must ALWAYS equal the dense argmax
+            # (fallback path when inexact).
+            matcher = ScanMatcherCorrelative(cfg)
+            summary = matcher.optimize_pose(ScanMatchingQuery(gm, scan, init))
+            d_est = P.move_backward(
+                np.asarray(dense[0], np.float64), scan.rel_sensor_pose
+            )
+            np.testing.assert_allclose(summary.estimated_pose, d_est,
+                                       rtol=0, atol=1e-12)
+            assert summary.normalized_score == pytest.approx(
+                float(dense[1]), abs=0
+            )
