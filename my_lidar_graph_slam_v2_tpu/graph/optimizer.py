@@ -363,7 +363,9 @@ class PoseGraphOptimizer:
         p1[P:] = Eb - 1
         p2[P:] = Eb - 1
 
-        mp2, sp2, err, lam, iters, init_err = _optimize_core(
+        # Single device->host fetch of the whole solver result (per-scalar
+        # lazy reads each cost a device round trip)
+        mp2, sp2, err, lam, iters, init_err = jax.device_get(_optimize_core(
             self.cfg,
             Mb,
             Nb,
@@ -377,7 +379,7 @@ class PoseGraphOptimizer:
             jnp.asarray(p1),
             jnp.asarray(p2),
             jnp.float32(self.lam),
-        )
+        ))
         self.lam = float(lam)
         stats = dict(
             iterations=int(iters),

@@ -458,7 +458,11 @@ class GridMapBuilder:
                     5 * self.latest_logodds.shape[0] * self.latest_logodds.shape[1]
                 )
 
-    def _update_latest_incremental(self, window_nodes) -> bool:
+    def _fold_window_inputs(self, window_nodes):
+        """Per-scan cached delta images + integer shifts for the latest-map
+        window, WITHOUT materializing the fold.  Returns a dict of fold
+        inputs, or None when the window spread exceeds the shift pad (the
+        caller must do a full rebuild)."""
         cfg = self.cfg
         res = cfg.resolution
         rows, cols = cfg.latest_map_rows, cfg.latest_map_cols
@@ -486,7 +490,7 @@ class GridMapBuilder:
             dr = int(cell_k[1] - anchor_cell[1])
             dc = int(cell_k[0] - anchor_cell[0])
             if abs(dr) > cfg.latest_map_shift_pad or abs(dc) > cfg.latest_map_shift_pad:
-                return False  # window spread exceeds pad: full rebuild
+                return None  # window spread exceeds pad: full rebuild
             deltas.append(delta)
             shifts.append((dr, dc))
         for nid in [k for k in self._latest_cache if k not in keep]:
@@ -499,17 +503,58 @@ class GridMapBuilder:
         while len(deltas) < n_cap:
             deltas.append(deltas[0])
             shifts.append((0, 0))
-        lo, obs = rasterize.fold_shifted_deltas(
-            jnp.stack(deltas),
-            jnp.asarray(np.array(shifts, np.int32)),
-            jnp.asarray(valid),
+        return dict(
+            deltas=tuple(deltas),
+            shifts=jnp.asarray(np.array(shifts, np.int32)),
+            valid=jnp.asarray(valid),
+            offset_xy=offset,
+            map_pose=np.array(
+                [anchor_cell[0] * res, anchor_cell[1] * res, 0.0]
+            ),
             max_shift=cfg.latest_map_shift_pad,
         )
-        self.latest_logodds, self.latest_observed = lo, obs
-        self.latest_offset = offset
-        self.latest_map_pose = np.array(
-            [anchor_cell[0] * res, anchor_cell[1] * res, 0.0]
+
+    def latest_fold_inputs(self, pose_graph: PoseGraph):
+        """Latest-map fold inputs for the single-launch fused matcher
+        (models/fused_matcher.py:_fused_core_deltas): the frontend hot
+        path folds + quantizes + pools + matches in ONE device dispatch,
+        so the latest raster never needs to be materialized separately
+        per keyframe.  Returns None when the incremental path does not
+        apply (caller falls back to update_latest_map + latest_raster)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        cfg = self.cfg
+        if not cfg.latest_map_incremental:
+            return None
+        nodes = pose_graph.scan_nodes
+        if not nodes:
+            return None
+        n = min(len(nodes), cfg.num_scans_for_latest_map)
+        fold = self._fold_window_inputs(nodes[len(nodes) - n:])
+        if fold is None:
+            return None
+        self.latest_scan_id_min = nodes[len(nodes) - n].node_id
+        self.latest_scan_id_max = nodes[-1].node_id
+        self.latest_map_pose = fold["map_pose"].copy()
+        self._m_latest_update_time.observe(
+            int((_time.perf_counter() - t0) * 1e6)
         )
+        return fold
+
+    def _update_latest_incremental(self, window_nodes) -> bool:
+        fold = self._fold_window_inputs(window_nodes)
+        if fold is None:
+            return False
+        lo, obs = rasterize.fold_shifted_deltas(
+            jnp.stack(fold["deltas"]),
+            fold["shifts"],
+            fold["valid"],
+            max_shift=fold["max_shift"],
+        )
+        self.latest_logodds, self.latest_observed = lo, obs
+        self.latest_offset = fold["offset_xy"]
+        self.latest_map_pose = fold["map_pose"]
         return True
 
     def _scan_delta(self, map_pose, offset, node):

@@ -48,6 +48,7 @@ def scan_to_arrays(scan, capacity: int) -> ScanArrays:
         jnp.asarray(m),
         rel_sensor_pose=np.asarray(scan.relative_sensor_pose, np.float64),
         num_valid=n,
+        max_range=float(r[:n].max()) if n else 0.0,
     )
 
 
@@ -113,9 +114,14 @@ class LoopDetectorCorrelative:
             )
             if not summary.pose_found:
                 continue
-            final = self.final_scan_matcher.optimize_pose(
-                ScanMatchingQuery(raster, arrays, summary.estimated_pose)
-            )
+            if getattr(self.scan_matcher, "fused", False):
+                # CSM + GN refinement already ran in one fused dispatch
+                # (models/fused_matcher.py) — one result fetch per candidate
+                final = summary
+            else:
+                final = self.final_scan_matcher.optimize_pose(
+                    ScanMatchingQuery(raster, arrays, summary.estimated_pose)
+                )
             self._m_detection_time.observe(
                 int((_time.perf_counter() - t1) * 1e6)
             )

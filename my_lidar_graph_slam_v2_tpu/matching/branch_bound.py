@@ -222,12 +222,14 @@ class ScanMatcherBranchBound:
     ) -> ScanMatchingSummary:
         gm, scan = query.grid_map, query.scan
         sensor_pose = P.compound(query.initial_pose, scan.rel_sensor_pose)
-        pose_s, score, found, ncost, cov = _branch_bound_core(
+        # Single device->host fetch of the whole result tuple (per-scalar
+        # lazy reads would each pay a device round trip)
+        pose_s, score, found, ncost, cov = jax.device_get(_branch_bound_core(
             self.cfg, gm.prob, gm.observed, scan.ranges, scan.angles,
             scan.mask, jnp.asarray(sensor_pose, jnp.float32),
             jnp.asarray(gm.offset_xy, jnp.float32),
             jnp.float32(score_threshold), jnp.float32(known_rate_threshold),
-        )
+        ))
         est = P.move_backward(np.asarray(pose_s, np.float64), scan.rel_sensor_pose)
         return ScanMatchingSummary(
             pose_found=bool(found),

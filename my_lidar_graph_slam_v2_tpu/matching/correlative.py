@@ -273,8 +273,14 @@ class ScanMatcherCorrelative:
     def coarse_of(self, grid_map: MapRaster):
         key = ("swmax", self.cfg.low_resolution)
         if key not in grid_map.coarse:
-            cp = pool.sliding_window_max2d(grid_map.prob, self.cfg.low_resolution)
-            co = pool.sliding_window_max2d(grid_map.observed, self.cfg.low_resolution)
+            # Jitted wrapper: from host code the plain op would run its
+            # O(log win) shift/max chain eagerly, one device dispatch each.
+            cp = pool.sliding_window_max2d_jit(
+                grid_map.prob, self.cfg.low_resolution
+            )
+            co = pool.sliding_window_max2d_jit(
+                grid_map.observed, self.cfg.low_resolution
+            )
             grid_map.coarse[key] = (cp, co)
         return grid_map.coarse[key]
 
@@ -307,11 +313,14 @@ class ScanMatcherCorrelative:
             jnp.float32(score_threshold),
             jnp.float32(known_rate_threshold),
         )
-        out = correlative_core_jit(*args)
+        # ONE device->host fetch for the whole result tuple: each separate
+        # scalar read (bool()/float()/np.asarray of a lazy device value)
+        # would be its own host<->device round trip.
+        out = jax.device_get(correlative_core_jit(*args))
         if not bool(out[-1]):
             # Top-K theta prune could not certify the argmax (winning fine
             # score below the K-th coarse bound) — rare; redo densely.
-            out = correlative_core_jit(*args, dense=True)
+            out = jax.device_get(correlative_core_jit(*args, dense=True))
         (pose_s, score, known, found, ncost, cov, n_proc, n_total, _) = out
         est_pose = P.move_backward(
             np.asarray(pose_s, np.float64), scan.rel_sensor_pose
@@ -344,9 +353,12 @@ class ScanMatcherCorrelative:
         wx, wy = cfg.win_cells
         nbx, nby = cfg.blocks
         n_theta = n_total // (nbx * nby * cfg.low_resolution**2)
-        valid = np.asarray(scan.mask, bool)
-        max_range = float(np.max(np.where(valid, np.asarray(scan.ranges), 0.0)))
-        step_theta = 2.0 * math.asin(0.5 * cfg.resolution / max(max_range, 1e-6))
+        # Host-side metadata only (ScanArrays.num_valid / .max_range):
+        # reading scan.mask / scan.ranges here would fetch device arrays.
+        max_range = float(scan.max_range)
+        step_theta = 2.0 * math.asin(
+            min(1.0, 0.5 * cfg.resolution / max(max_range, 1e-6))
+        )
         mm.WinSizeX.observe(2 * wx)
         mm.WinSizeY.observe(2 * wy)
         mm.WinSizeTheta.observe(n_theta)
@@ -357,4 +369,4 @@ class ScanMatcherCorrelative:
         mm.NumOfProcessedNodes.observe(n_proc)
         mm.ScoreValue.observe(float(score))
         mm.CostValue.observe(float(ncost))
-        mm.NumOfScans.observe(int(valid.sum()))
+        mm.NumOfScans.observe(int(scan.num_valid))

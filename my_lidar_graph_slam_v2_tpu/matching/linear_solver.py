@@ -79,15 +79,19 @@ class ScanMatcherLinearSolver:
         t0 = _time.perf_counter()
         gm, scan = query.grid_map, query.scan
         sensor_pose = P.compound(query.initial_pose, scan.rel_sensor_pose)
-        pose, ncost, cov, iters, ncost0 = _refine_core(
-            self.cfg,
-            gm.prob,
-            gm.observed,
-            scan.ranges,
-            scan.angles,
-            scan.mask,
-            jnp.asarray(sensor_pose, jnp.float32),
-            jnp.asarray(gm.offset_xy, jnp.float32),
+        # Single device->host fetch of the whole result (see
+        # models/fused_matcher.py — per-scalar reads each cost a round trip)
+        pose, ncost, cov, iters, ncost0 = jax.device_get(
+            _refine_core(
+                self.cfg,
+                gm.prob,
+                gm.observed,
+                scan.ranges,
+                scan.angles,
+                scan.mask,
+                jnp.asarray(sensor_pose, jnp.float32),
+                jnp.asarray(gm.offset_xy, jnp.float32),
+            )
         )
         est_pose = P.move_backward(np.asarray(pose, np.float64), scan.rel_sensor_pose)
         mm = self.metrics
@@ -98,7 +102,7 @@ class ScanMatcherLinearSolver:
         mm.NumOfIterations.observe(int(iters))
         mm.InitialCost.observe(float(ncost0))
         mm.FinalCost.observe(float(ncost))
-        mm.NumOfScans.observe(int(np.asarray(scan.mask, bool).sum()))
+        mm.NumOfScans.observe(int(scan.num_valid))
         return ScanMatchingSummary(
             pose_found=True,
             normalized_cost=float(ncost),

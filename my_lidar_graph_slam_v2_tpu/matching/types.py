@@ -38,6 +38,10 @@ class ScanArrays:
     mask: Any  # [B] bool
     rel_sensor_pose: np.ndarray  # (3,) robot->sensor offset
     num_valid: int
+    # Host-side metadata captured at padding time so metric bookkeeping
+    # never has to fetch the device arrays back (each device->host read is
+    # a full round trip on remote-attached accelerators).
+    max_range: float = 0.0
 
     @property
     def capacity(self) -> int:

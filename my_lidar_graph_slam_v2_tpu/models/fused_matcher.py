@@ -28,8 +28,7 @@ from ..matching.types import ScanMatchingQuery, ScanMatchingSummary
 from ..ops import gauss_newton, pool
 
 
-@functools.partial(jax.jit, static_argnames=("ccfg", "lcfg", "dense"))
-def _fused_core(
+def _fused_body(
     ccfg: CorrelativeConfig,
     lcfg: LinearSolverConfig,
     prob,
@@ -69,6 +68,62 @@ def _fused_core(
             n_total, csm_pose, csm_ncost, exact)
 
 
+_fused_core = functools.partial(
+    jax.jit, static_argnames=("ccfg", "lcfg", "dense")
+)(_fused_body)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ccfg", "lcfg", "max_shift", "dense")
+)
+def _fused_core_deltas(
+    ccfg: CorrelativeConfig,
+    lcfg: LinearSolverConfig,
+    deltas,  # tuple of S [H, W] f32 per-scan log-odds delta images
+    shifts,  # [S, 2] i32
+    valid,  # [S] bool
+    ranges,
+    angles,
+    mask,
+    sensor_pose,
+    offset_xy,
+    score_threshold,
+    known_rate_threshold,
+    *,
+    max_shift: int,
+    dense: bool = False,
+):
+    """The WHOLE frontend keyframe match as one launch: latest-map fold
+    (from per-scan cached deltas, grid/builder.py incremental mode) ->
+    u8 quantize -> coarse sliding-window-max pool -> coarse+fine CSM
+    sweeps -> GN refinement -> covariance.
+
+    One device launch + one small result fetch per keyframe is the whole
+    host<->device protocol — the TPU analogue of the reference FPGA
+    driver's one-DMA-in/one-DMA-out per match
+    (``scan_matcher_correlative_fpga.cpp:277-320``), and the right shape
+    for remote-attached accelerators where every round trip costs a full
+    network RTT.  Results are bit-identical to the staged path (same ops,
+    same order)."""
+    from ..ops import rasterize
+
+    lo, obs = rasterize.fold_shifted_deltas_impl(
+        jnp.stack(deltas), shifts, valid, max_shift=max_shift
+    )
+    # u8 quantize inline (ops/quant.py contract; that entry point is
+    # jitted for host callers, a nested jit here would block fusion)
+    prob = jnp.round(
+        jnp.where(obs, jax.nn.sigmoid(lo), 0.0) * 255.0
+    ).astype(jnp.uint8)
+    coarse_p = pool.sliding_window_max2d(prob, ccfg.low_resolution)
+    coarse_o = pool.sliding_window_max2d(obs, ccfg.low_resolution)
+    return _fused_body(
+        ccfg, lcfg, prob, obs, coarse_p, coarse_o,
+        ranges, angles, mask, sensor_pose, offset_xy,
+        score_threshold, known_rate_threshold, dense=dense,
+    )
+
+
 class FusedCorrelativeGNMatcher:
     """Drop-in two-stage matcher; ``fused = True`` tells the frontend to
     skip its separate final-matcher call."""
@@ -101,8 +156,42 @@ class FusedCorrelativeGNMatcher:
             LinearSolverMetrics(final_name) if final_name else None
         )
 
+    # The frontend may hand this matcher the latest map as raw fold
+    # inputs (per-scan delta images + shifts) instead of a materialized
+    # raster, collapsing the keyframe's whole device pipeline into one
+    # launch (see optimize_pose_deltas).
+    supports_deltas = True
+
     def coarse_of(self, grid_map):
         return self._series.coarse_of(grid_map)
+
+    def optimize_pose_deltas(
+        self,
+        fold,  # dict from GridMapBuilder.latest_fold_inputs
+        scan,  # ScanArrays
+        initial_pose,  # (3,) map-local robot pose
+        score_threshold: float = 0.0,
+        known_rate_threshold: float = 0.0,
+    ) -> ScanMatchingSummary:
+        import time as _time
+
+        t1 = _time.perf_counter()
+        sensor_pose = P.compound(initial_pose, scan.rel_sensor_pose)
+        args = (
+            self.ccfg, self.lcfg,
+            fold["deltas"], fold["shifts"], fold["valid"],
+            scan.ranges, scan.angles, scan.mask,
+            jnp.asarray(sensor_pose, jnp.float32),
+            jnp.asarray(fold["offset_xy"], jnp.float32),
+            jnp.float32(score_threshold),
+            jnp.float32(known_rate_threshold),
+        )
+        kw = dict(max_shift=fold["max_shift"])
+        out = jax.device_get(_fused_core_deltas(*args, **kw))
+        if not bool(out[-1]):
+            out = jax.device_get(_fused_core_deltas(*args, dense=True, **kw))
+        self.metrics.InputSetupTime.observe(0)
+        return self._finish(out, initial_pose, scan, t1)
 
     def optimize_pose(
         self,
@@ -129,13 +218,21 @@ class FusedCorrelativeGNMatcher:
             jnp.float32(score_threshold),
             jnp.float32(known_rate_threshold),
         )
-        out = _fused_core(*args)
+        # ONE device->host fetch per keyframe: the whole result tuple comes
+        # back in a single transfer (separate bool()/float() reads would
+        # each pay a full round trip to a remote-attached device).
+        out = jax.device_get(_fused_core(*args))
         if not bool(out[-1]):
             # Top-K theta prune could not certify the CSM argmax — rare;
             # redo with the dense fine sweep (see matching/correlative.py).
-            out = _fused_core(*args, dense=True)
+            out = jax.device_get(_fused_core(*args, dense=True))
+        return self._finish(out, query.initial_pose, scan, t1)
+
+    def _finish(self, out, initial_pose, scan, t1) -> ScanMatchingSummary:
+        import time as _time
+
         (refined, cov, score, known, found, ncost, iters, n_proc, n_total,
-         csm_pose, csm_ncost, _) = jax.device_get(out)
+         csm_pose, csm_ncost, _) = out
         est = P.move_backward(np.asarray(refined, np.float64), scan.rel_sensor_pose)
         self.metrics.OptimizationTime.observe(
             int((_time.perf_counter() - t1) * 1e6)
@@ -143,8 +240,14 @@ class FusedCorrelativeGNMatcher:
         csm_est = P.move_backward(
             np.asarray(csm_pose, np.float64), scan.rel_sensor_pose
         )
+
+        class _Q:  # _observe_metrics reads only .initial_pose
+            pass
+
+        q = _Q()
+        q.initial_pose = np.asarray(initial_pose)
         self._series._observe_metrics(
-            query, scan, csm_est, score, csm_ncost, int(n_proc), int(n_total)
+            q, scan, csm_est, score, csm_ncost, int(n_proc), int(n_total)
         )
         if self.final_metrics is not None:
             fm = self.final_metrics
@@ -155,11 +258,11 @@ class FusedCorrelativeGNMatcher:
             fm.NumOfIterations.observe(int(iters))
             fm.InitialCost.observe(float(csm_ncost))
             fm.FinalCost.observe(float(ncost))
-            fm.NumOfScans.observe(int(np.asarray(scan.mask, bool).sum()))
+            fm.NumOfScans.observe(int(scan.num_valid))
         return ScanMatchingSummary(
             pose_found=bool(found),
             normalized_cost=float(ncost),
-            initial_pose=np.asarray(query.initial_pose),
+            initial_pose=np.asarray(initial_pose),
             estimated_pose=est,
             covariance=np.asarray(cov, np.float64),
             normalized_score=float(score),

@@ -98,3 +98,17 @@ def pyramid(arr: jax.Array, max_height: int):
         row = jnp.maximum(prev, _shift(prev, prev.ndim - 2, s, fill))
         maps.append(jnp.maximum(row, _shift(row, prev.ndim - 1, s, fill)))
     return maps
+
+
+# Jitted entry points for HOST callers (e.g. per-local-map coarse caches).
+# Calling the un-jitted ops above from host code runs them eagerly — each
+# elementwise shift/max becomes its own device dispatch, which costs a full
+# host<->device round trip per op on remote-attached devices.  Device-side
+# callers keep using the plain functions so everything fuses into their jit.
+sliding_window_max2d_jit = functools.partial(
+    jax.jit, static_argnames=("win",)
+)(sliding_window_max2d)
+
+pyramid_jit = functools.partial(
+    jax.jit, static_argnames=("max_height",)
+)(pyramid)

@@ -190,19 +190,10 @@ def scan_delta(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_shift",))
-def fold_shifted_deltas(
-    deltas: jax.Array,  # [S, H, W] raw per-scan deltas (own anchors)
-    shifts: jax.Array,  # [S, 2] i32 (dr, dc): latest[r, c] = delta[r-dr, c-dc]
-    valid: jax.Array,  # [S] bool
-    *,
-    max_shift: int,
-):
-    """Sequential Bayes fold of per-scan delta images into a fresh raster,
-    translating each delta by an integer cell shift first (the latest-map
-    and delta rasters share axis orientation; anchors are cell-quantized).
-    Shifts beyond ``max_shift`` are clipped — the caller must fall back to
-    a full rebuild in that case."""
+def fold_shifted_deltas_impl(deltas, shifts, valid, *, max_shift: int):
+    """Un-jitted fold body — call this from INSIDE larger jitted
+    computations (e.g. the single-dispatch fused frontend matcher);
+    a nested jit would be an XLA call boundary that blocks fusion."""
     S, H, W = deltas.shape
     p = max_shift
     lo = jnp.zeros((H, W), jnp.float32)
@@ -218,6 +209,22 @@ def fold_shifted_deltas(
         return _apply_delta(lo, obs, shifted)
 
     return jax.lax.fori_loop(0, S, step, (lo, obs))
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift",))
+def fold_shifted_deltas(
+    deltas: jax.Array,  # [S, H, W] raw per-scan deltas (own anchors)
+    shifts: jax.Array,  # [S, 2] i32 (dr, dc): latest[r, c] = delta[r-dr, c-dc]
+    valid: jax.Array,  # [S] bool
+    *,
+    max_shift: int,
+):
+    """Sequential Bayes fold of per-scan delta images into a fresh raster,
+    translating each delta by an integer cell shift first (the latest-map
+    and delta rasters share axis orientation; anchors are cell-quantized).
+    Shifts beyond ``max_shift`` are clipped — the caller must fall back to
+    a full rebuild in that case."""
+    return fold_shifted_deltas_impl(deltas, shifts, valid, max_shift=max_shift)
 
 
 def _miss_counts_matmul(rows, cols, valid, h, w, crop, chunk):

@@ -59,7 +59,13 @@ def create_default_backend(
     from ..loop.searcher import LoopSearcherConfig, LoopSearcherNearest
     from .backend import LidarGraphSlamBackend
 
-    loop_matcher = ScanMatcherCorrelative(
+    from ..models.fused_matcher import FusedCorrelativeGNMatcher
+
+    # Fused CSM + GN detector matcher: one device dispatch + one result
+    # fetch per loop candidate (identical results to the two-stage pair;
+    # the reference's detector also chains matcher -> final matcher,
+    # loop_detector_correlative.cpp:59-156)
+    loop_matcher = FusedCorrelativeGNMatcher(
         CorrelativeConfig(
             range_x=2.5,
             range_y=2.5,
@@ -69,7 +75,9 @@ def create_default_backend(
             crop_rows=crop,
             crop_cols=crop,
         ),
+        LinearSolverConfig(resolution=resolution),
         name="LoopDetector.ScanMatcherCorrelative",
+        final_name="LoopDetector.FinalScanMatcherLinearSolver",
     )
     final_matcher = ScanMatcherLinearSolver(
         LinearSolverConfig(resolution=resolution),

@@ -117,6 +117,7 @@ class LidarGraphSlamFrontend:
             jnp.asarray(m2),
             rel_sensor_pose=np.asarray(scan.relative_sensor_pose, np.float64),
             num_valid=n,
+            max_range=float(r[:n].max()) if n else 0.0,
         )
 
     # ------------------------------------------------------------------
@@ -184,7 +185,19 @@ class LidarGraphSlamFrontend:
             self._m_data_update_time.observe(us(t_update))
         else:
             parent.wait_for_optimization()
-            latest_scan_pose, latest_map, latest_map_pose = parent.get_latest_data()
+            # Single-launch path: hand the matcher the latest map as raw
+            # fold inputs so fold+quantize+pool+match is ONE device
+            # dispatch + ONE small fetch (models/fused_matcher.py).
+            fold_data = None
+            if getattr(self.scan_matcher, "supports_deltas", False):
+                fold_data = parent.get_latest_match_data()
+            if fold_data is not None:
+                latest_scan_pose, fold, latest_map_pose = fold_data
+                latest_map = None
+            else:
+                latest_scan_pose, latest_map, latest_map_pose = (
+                    parent.get_latest_data()
+                )
 
             rel_from_last_update = P.inverse_compound(
                 self.last_map_update_odom_pose, odom_pose
@@ -194,9 +207,14 @@ class LidarGraphSlamFrontend:
 
             scan_arrays = self._scan_arrays(scan)
             t_match = _time.perf_counter()
-            summary = self.scan_matcher.optimize_pose(
-                ScanMatchingQuery(latest_map, scan_arrays, map_local_initial)
-            )
+            if fold_data is not None:
+                summary = self.scan_matcher.optimize_pose_deltas(
+                    fold, scan_arrays, map_local_initial
+                )
+            else:
+                summary = self.scan_matcher.optimize_pose(
+                    ScanMatchingQuery(latest_map, scan_arrays, map_local_initial)
+                )
             self._m_matching_time.observe(us(t_match))
             t_final = _time.perf_counter()
             if summary.pose_found:

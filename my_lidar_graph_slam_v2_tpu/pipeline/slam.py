@@ -85,6 +85,19 @@ class LidarGraphSlam:
             latest_map = self.builder.latest_raster()
             return latest_scan_pose, latest_map, latest_map_pose
 
+    def get_latest_match_data(self):
+        """Latest-map FOLD INPUTS + poses for the single-launch fused
+        match (GridMapBuilder.latest_fold_inputs): same information as
+        get_latest_data, but the raster is left un-materialized so the
+        matcher can fold+quantize+pool+match in one device dispatch.
+        Returns None when the incremental path does not apply."""
+        with self._lock:
+            fold = self.builder.latest_fold_inputs(self.pose_graph)
+            if fold is None:
+                return None
+            latest_scan_pose = self.pose_graph.scan_nodes[-1].global_pose.copy()
+            return latest_scan_pose, fold, fold["map_pose"].copy()
+
     def accum_travel_dist(self) -> float:
         with self._lock:
             return self.builder.accum_travel_dist
