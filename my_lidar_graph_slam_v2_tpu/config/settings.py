@@ -196,10 +196,17 @@ def create_slam_from_settings(
     n_theta_max: int = 208,
     crop: int = 384,
     loop_crop: int = 448,
-    inline_backend: bool = True,
+    inline_backend: bool = False,
     fuse_matchers: bool = True,
 ):
-    """``CreateLidarGraphSlam`` (slam_module_factory.cpp:214-244)."""
+    """``CreateLidarGraphSlam`` (slam_module_factory.cpp:214-244).
+
+    ``inline_backend`` defaults to False: like the reference, the backend
+    (loop detection + optimization) runs pipelined on a worker thread
+    (``lidar_graph_slam.cpp:771-860``) so the frontend does not stall for
+    the whole detect+optimize pass at every trigger; the frontend blocks
+    only while node poses are being rewritten (wait_for_optimization).
+    Pass True for single-threaded deterministic runs (tests)."""
     import numpy as np
 
     from ..graph.loss import LossFunction

@@ -94,6 +94,8 @@ def _branch_bound_core(
     cfg: BranchBoundConfig,
     prob,
     observed,
+    pyr_p,
+    pyr_o,
     ranges,
     angles,
     mask,
@@ -127,9 +129,11 @@ def _branch_bound_core(
     y0 = jnp.int32(-wy)
 
     # 1. admissible block bounds from the level-h pyramid (window maxima
-    #    upper-bound every leaf; PrecomputeGridMaps analogue)
-    pyr_p = pool.pyramid(prob, cfg.bound_height)[-1]
-    pyr_o = pool.pyramid(observed, cfg.bound_height)[-1]
+    #    upper-bound every leaf; PrecomputeGridMaps analogue).  The pyramid
+    #    is an ARGUMENT: the host wrapper caches it per local map like the
+    #    reference caches precomputed maps per map id
+    #    (loop_detector_branch_bound.cpp:83-89), so repeat detections
+    #    against the same (finished) map skip the recompute.
     c_scores, c_known = csm.sweep_from_hits(
         hit_img, r0, c0, pyr_p, pyr_o, x0, y0,
         nx=nbx, ny=nby, stride=block, precision=cfg.precision,
@@ -216,16 +220,31 @@ class ScanMatcherBranchBound:
     def __init__(self, cfg: BranchBoundConfig):
         self.cfg = cfg
 
+    def pyramid_of(self, grid_map):
+        """Level-``bound_height`` pyramid maps, cached on the raster (the
+        per-local-map precomputed-map cache of the reference,
+        ``loop_detector_branch_bound.cpp:83-89``; entries live in the same
+        ``coarse`` dict the map cache persists per (map id, version))."""
+        key = ("pyr", self.cfg.bound_height)
+        if key not in grid_map.coarse:
+            grid_map.coarse[key] = (
+                pool.pyramid_jit(grid_map.prob, self.cfg.bound_height)[-1],
+                pool.pyramid_jit(grid_map.observed, self.cfg.bound_height)[-1],
+            )
+        return grid_map.coarse[key]
+
     def optimize_pose(
         self, query: ScanMatchingQuery,
         score_threshold: float = 0.0, known_rate_threshold: float = 0.0,
     ) -> ScanMatchingSummary:
         gm, scan = query.grid_map, query.scan
         sensor_pose = P.compound(query.initial_pose, scan.rel_sensor_pose)
+        pyr_p, pyr_o = self.pyramid_of(gm)
         # Single device->host fetch of the whole result tuple (per-scalar
         # lazy reads would each pay a device round trip)
         pose_s, score, found, ncost, cov = jax.device_get(_branch_bound_core(
-            self.cfg, gm.prob, gm.observed, scan.ranges, scan.angles,
+            self.cfg, gm.prob, gm.observed, pyr_p, pyr_o,
+            scan.ranges, scan.angles,
             scan.mask, jnp.asarray(sensor_pose, jnp.float32),
             jnp.asarray(gm.offset_xy, jnp.float32),
             jnp.float32(score_threshold), jnp.float32(known_rate_threshold),

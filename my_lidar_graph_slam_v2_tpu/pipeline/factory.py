@@ -50,14 +50,64 @@ def create_default_backend(
     searcher_overrides: Optional[dict] = None,
     optimizer_overrides: Optional[dict] = None,
     inline: bool = True,
+    sharded: Optional[bool] = None,
 ):
     """Default backend: nearest searcher + real-time-correlative loop
     detector (2.5 m x 2.5 m x 0.5 rad window) + LM optimizer, matching
-    ``launcher_settings_default.json`` /Backend."""
+    ``launcher_settings_default.json`` /Backend.
+
+    ``sharded=None`` (default) fans loop candidates out across all local
+    devices whenever more than one is present — the N-device
+    generalization of the reference's 2-IP-core parallel detector
+    (``loop_detector_fpga_parallel.cpp:32-68``), with identical loop
+    edges to the serial detector (tests/test_parallel.py).  Pass False to
+    force the serial per-candidate detector, True to require the sharded
+    one."""
     from ..graph.optimizer import OptimizerConfig, PoseGraphOptimizer
     from ..loop.detector import LoopDetectorConfig, LoopDetectorCorrelative
     from ..loop.searcher import LoopSearcherConfig, LoopSearcherNearest
     from .backend import LidarGraphSlamBackend
+
+    if sharded is None:
+        import jax
+
+        sharded = len(jax.devices()) > 1
+    if sharded:
+        from ..parallel.loop_sharded import LoopDetectorShardedCorrelative
+        from ..parallel.mesh import make_mesh
+
+        loop_cfg = CorrelativeConfig(
+            range_x=2.5,
+            range_y=2.5,
+            range_theta=0.5,
+            resolution=resolution,
+            n_theta_max=n_theta_max,
+            crop_rows=crop,
+            crop_cols=crop,
+        )
+        final_matcher = ScanMatcherLinearSolver(
+            LinearSolverConfig(resolution=resolution),
+            name="LoopDetector.FinalScanMatcherLinearSolver",
+        )
+        detector = LoopDetectorShardedCorrelative(
+            LoopDetectorConfig(
+                score_threshold=score_threshold,
+                known_rate_threshold=known_rate_threshold,
+                beam_capacity=beam_capacity,
+                usable_range_max=usable_range_max,
+            ),
+            loop_cfg,
+            final_matcher,
+            make_mesh(),
+            resolution=resolution,
+        )
+        searcher = LoopSearcherNearest(
+            LoopSearcherConfig(**(searcher_overrides or {}))
+        )
+        optimizer = PoseGraphOptimizer(
+            OptimizerConfig(**(optimizer_overrides or {}))
+        )
+        return LidarGraphSlamBackend(searcher, detector, optimizer, inline=inline)
 
     from ..models.fused_matcher import FusedCorrelativeGNMatcher
 

@@ -126,15 +126,25 @@ class LidarGraphSlam:
     def wait_for_optimization(self):
         """Block the frontend while the backend rewrites node poses
         (``WaitForOptimization``, lidar_graph_slam.cpp:832-860;
-        frontend call site lidar_graph_slam_frontend.cpp:188)."""
+        frontend call site lidar_graph_slam_frontend.cpp:188).  The wait
+        is observed into ``Frontend.OptimizationWaitTime`` (us) so the
+        frontend/backend overlap of the pipelined mode is quantifiable."""
+        import time as _time
+
         if self.inline_backend:
             # Inline mode: optimization completes synchronously.
             return
+        t0 = _time.perf_counter()
         with self._opt_cond:
             if self._opt_running:
                 self.opt_wait_count += 1
             while self._opt_running:
                 self._opt_cond.wait()
+        from ..metrics.registry import MetricManager
+
+        MetricManager.instance().value_sequence(
+            "Frontend.OptimizationWaitTime"
+        ).observe(int((_time.perf_counter() - t0) * 1e6))
 
     def start_backend(self):
         if self.backend is None or self.inline_backend:

@@ -148,9 +148,14 @@ def main():
         crop_rows=crop, crop_cols=crop)
 
     def matcher_on(p, o):
+        from my_lidar_graph_slam_v2_tpu.ops import pool as _pool
+
+        pp = _pool.pyramid_jit(p, bcfg.bound_height)[-1]
+        po = _pool.pyramid_jit(o, bcfg.bound_height)[-1]
+
         def fn():
             return _branch_bound_core(
-                bcfg, p, o, ranges, angles, mask, pose, off,
+                bcfg, p, o, pp, po, ranges, angles, mask, pose, off,
                 jnp.float32(0.1), jnp.float32(0.05))[1]
         return fn
 

@@ -79,8 +79,11 @@ def main():
         n_theta_max=n_theta, crop=crop, backend=backend,
         builder_overrides=dict(travel_dist_threshold=builder_travel),
     )
+    import time as _time
+
     gt = []
     dropped_rasters = dropped_scans = 0
+    t_run = _time.time()
     for scan, g in zip(seq.scans, seq.ground_truth):
         if slam.process_scan(scan, scan.odom_pose):
             gt.append(g)
@@ -90,6 +93,7 @@ def main():
         dropped_rasters += ret["dropped_rasters"]
         dropped_scans += ret["dropped_scans"]
     slam.stop_backend()
+    wall_s = _time.time() - t_run
     est = slam.get_trajectory()
     ate = synthetic.ate_rmse(est, np.asarray(gt))
     n_loops = sum(1 for e in slam.pose_graph.edges if e.is_loop)
@@ -106,6 +110,9 @@ def main():
         process_id=args.process_id,
         num_processes=jax.process_count(),
         global_devices=len(jax.devices()),
+        wall_s=round(wall_s, 2),
+        scans=len(seq.scans),
+        scans_per_sec=round(len(seq.scans) / max(wall_s, 1e-9), 2),
         keyframes=len(est),
         loops=n_loops,
         ate=round(float(ate), 5),

@@ -83,8 +83,13 @@ def test_branch_bound_equals_dense_gated_argmax(scene):
         n_theta_max=64, crop_rows=384, crop_cols=384,
     )
     sensor_pose = jnp.asarray(init, jnp.float32)
+    from my_lidar_graph_slam_v2_tpu.ops import pool as _pool
+
+    pyr_p = _pool.pyramid_jit(gm.prob, cfg.bound_height)[-1]
+    pyr_o = _pool.pyramid_jit(gm.observed, cfg.bound_height)[-1]
     pose_s, score, found, _, _ = _branch_bound_core(
-        cfg, gm.prob, gm.observed, scan.ranges, scan.angles, scan.mask,
+        cfg, gm.prob, gm.observed, pyr_p, pyr_o,
+        scan.ranges, scan.angles, scan.mask,
         sensor_pose, jnp.asarray(gm.offset_xy, jnp.float32),
         jnp.float32(0.2), jnp.float32(0.1),
     )
@@ -162,3 +167,38 @@ def test_greedy_endpoint_cost_prefers_true_pose(scene):
     c_true = cost(true_pose)
     c_off = cost(true_pose + np.array([0.4, 0.4, 0.2]))
     assert c_true < c_off
+
+
+def test_branch_bound_pyramid_cached_per_map(scene):
+    """Repeat matches against the same raster reuse the cached pyramid
+    (the reference's per-local-map precomputed-map cache,
+    loop_detector_branch_bound.cpp:83-89)."""
+    from my_lidar_graph_slam_v2_tpu.matching import branch_bound as bb
+    from my_lidar_graph_slam_v2_tpu.ops import pool
+
+    gm, scan, true_pose = scene
+    cfg = BranchBoundConfig(
+        node_height_max=4, range_x=1.0, range_y=1.0, range_theta=0.3,
+        n_theta_max=64, crop_rows=384, crop_cols=384,
+    )
+    m = bb.ScanMatcherBranchBound(cfg)
+    # the scene fixture is shared across tests: start from a cold cache
+    gm.coarse.pop(("pyr", cfg.bound_height), None)
+    calls = []
+    orig = pool.pyramid_jit
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    pool.pyramid_jit, saved = counting, orig
+    try:
+        init = true_pose + np.array([0.2, -0.2, 0.05])
+        s1 = m.optimize_pose(ScanMatchingQuery(gm, scan, init))
+        n_after_first = len(calls)
+        s2 = m.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    finally:
+        pool.pyramid_jit = saved
+    assert n_after_first == 2  # prob + observed, first call only
+    assert len(calls) == n_after_first  # second detect: no recompute
+    np.testing.assert_allclose(s1.estimated_pose, s2.estimated_pose)

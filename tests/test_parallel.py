@@ -104,3 +104,26 @@ def test_sharded_loop_detector_matches_serial():
             a["relative_pose"], b["relative_pose"], atol=2e-2
         )
         assert a["score"] == pytest.approx(b["score"], abs=1e-3)
+
+
+def test_default_backend_fans_out_when_multi_device():
+    """create_default_backend auto-selects the sharded candidate fan-out
+    whenever >1 device is present (the N-device generalization of the
+    reference's LoopDetectorFPGAParallel, loop_detector_fpga_parallel.cpp:
+    32-68); sharded=False forces the serial per-candidate detector."""
+    from my_lidar_graph_slam_v2_tpu.loop.detector import (
+        LoopDetectorCorrelative,
+    )
+    from my_lidar_graph_slam_v2_tpu.parallel.loop_sharded import (
+        LoopDetectorShardedCorrelative,
+    )
+    from my_lidar_graph_slam_v2_tpu.pipeline.factory import (
+        create_default_backend,
+    )
+
+    auto = create_default_backend(n_theta_max=32, crop=256)
+    assert isinstance(auto.loop_detector, LoopDetectorShardedCorrelative)
+    assert auto.loop_detector.mesh.devices.size == 8
+
+    serial = create_default_backend(n_theta_max=32, crop=256, sharded=False)
+    assert isinstance(serial.loop_detector, LoopDetectorCorrelative)
