@@ -3,9 +3,11 @@
 Port of ``ScanMatcherGridSearch``
 (``mapping/scan_matcher_grid_search.cpp:84-178``): full (x, y, theta)
 enumeration with configured ranges/steps and pixel-accurate scoring, with
-per-candidate score AND known-rate gating.  The whole grid is evaluated as
-one dense sweep (ops/csm.py).  Linear steps must equal the map resolution
-(the reference's default config) so translations are integer cell shifts.
+per-candidate score AND known-rate gating.  Steps equal to the map
+resolution evaluate the whole grid as one dense integer-shift sweep
+(ops/csm.py); arbitrary steps (the reference accepts any) run the general
+per-theta gather core (``_pixel_scores_gather``) — identical scoring
+semantics at fractional cell offsets.
 """
 from __future__ import annotations
 
@@ -40,13 +42,16 @@ class GridSearchConfig:
     # scan_matcher_factory.cpp:30-100); None = SquareError.
     cost: CostConfig = None
 
-    def __post_init__(self):
-        if abs(self.step_x - self.resolution) > 1e-9 or abs(
-            self.step_y - self.resolution
-        ) > 1e-9:
-            raise ValueError(
-                "grid-search linear steps must equal the map resolution"
-            )
+    @property
+    def integer_steps(self) -> bool:
+        """Steps equal to the map resolution take the dense-sweep path
+        (translations are integer cell shifts); any other step runs the
+        general gather core — the reference accepts arbitrary steps
+        (``scan_matcher_grid_search.cpp:84-178``)."""
+        return (
+            abs(self.step_x - self.resolution) <= 1e-9
+            and abs(self.step_y - self.resolution) <= 1e-9
+        )
 
     @property
     def wins(self):
@@ -54,6 +59,55 @@ class GridSearchConfig:
         wy = int(math.ceil(0.5 * self.range_y / self.step_y))
         wt = int(math.ceil(0.5 * self.range_theta / self.step_theta))
         return wx, wy, wt
+
+
+def _pixel_scores_gather(
+    cfg, prob, observed, ranges, angles, mask, sensor_pose, offset_xy,
+):
+    """Pixel-accurate (score, known) over the full (theta, x, y) grid at
+    ARBITRARY linear steps: per-theta beam endpoints, then one gather per
+    (x, y) offset grid — the direct formulation of the reference's
+    per-candidate ``ScorePixelAccurate`` loop, vectorized.  Used when
+    ``step != resolution`` (fractional cell offsets change each beam's
+    floor cell, so integer-shift sweeps cannot represent the grid)."""
+    from ..ops import quant
+
+    wx, wy, wt = cfg.wins
+    T = 2 * wt + 1
+    nx, ny = 2 * wx + 1, 2 * wy + 1
+    h, w = prob.shape
+    probf = quant.dequant_prob(prob)
+    res = jnp.float32(cfg.resolution)
+    dx = (jnp.arange(nx, dtype=jnp.float32) - wx) * cfg.step_x
+    dy = (jnp.arange(ny, dtype=jnp.float32) - wy) * cfg.step_y
+    thetas = (
+        sensor_pose[2]
+        + (jnp.arange(T, dtype=jnp.float32) - wt) * cfg.step_theta
+    )
+    mf = mask.astype(jnp.float32)
+
+    def per_theta(_, theta):
+        ang = theta + angles
+        hx = sensor_pose[0] + ranges * jnp.cos(ang)  # [B]
+        hy = sensor_pose[1] + ranges * jnp.sin(ang)
+        cx = jnp.floor(
+            (hx[None, None, :] + dx[:, None, None] - offset_xy[0]) / res
+        ).astype(jnp.int32)  # [nx, 1, B] -> broadcast [nx, ny, B]
+        cy = jnp.floor(
+            (hy[None, None, :] + dy[None, :, None] - offset_xy[1]) / res
+        ).astype(jnp.int32)
+        cx, cy = jnp.broadcast_arrays(cx, cy)
+        inside = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+        cxc = jnp.clip(cx, 0, w - 1)
+        cyc = jnp.clip(cy, 0, h - 1)
+        p = jnp.where(inside, probf[cyc, cxc], 0.0)
+        o = jnp.where(inside, observed[cyc, cxc], False)
+        score = jnp.sum(p * mf[None, None, :], axis=-1)  # [nx, ny]
+        known = jnp.sum(o * mf[None, None, :], axis=-1)
+        return None, (score, known)
+
+    _, (scores, known) = jax.lax.scan(per_theta, None, thetas)
+    return scores.transpose(0, 2, 1), known.transpose(0, 2, 1)  # [T, ny, nx]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -66,14 +120,20 @@ def _grid_search_core(
     nx, ny = 2 * wx + 1, 2 * wy + 1
     n_valid = jnp.maximum(jnp.sum(mask).astype(jnp.float32), 1.0)
     norm = 1.0 / n_valid
-    scores, known = csm.csm_sweep(
-        prob, observed, ranges, angles, mask, sensor_pose,
-        jnp.int32(-wt), jnp.float32(cfg.step_theta), jnp.ones(T, bool),
-        jnp.int32(-wx), jnp.int32(-wy), cfg.resolution, offset_xy,
-        n_theta=T, nx=nx, ny=ny, stride=1,
-        crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
-        precision=cfg.precision,
-    )
+    if cfg.integer_steps:
+        scores, known = csm.csm_sweep(
+            prob, observed, ranges, angles, mask, sensor_pose,
+            jnp.int32(-wt), jnp.float32(cfg.step_theta), jnp.ones(T, bool),
+            jnp.int32(-wx), jnp.int32(-wy), cfg.resolution, offset_xy,
+            n_theta=T, nx=nx, ny=ny, stride=1,
+            crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
+            precision=cfg.precision,
+        )
+    else:
+        scores, known = _pixel_scores_gather(
+            cfg, prob, observed, ranges, angles, mask, sensor_pose,
+            offset_xy,
+        )
     eligible = (scores * norm > score_threshold) & (
         known * norm > known_rate_threshold
     )

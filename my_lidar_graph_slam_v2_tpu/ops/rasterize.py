@@ -37,7 +37,9 @@ DEFAULT_SAMPLES_PER_BEAM = 768
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "backend", "crop", "chunk")
+    jax.jit,
+    static_argnames=("num_samples", "backend", "crop", "chunk",
+                     "return_oob"),
 )
 def integrate_scans(
     logodds: jax.Array,  # [H, W] f32
@@ -53,9 +55,13 @@ def integrate_scans(
     backend: str = "scatter",
     crop: int | None = None,
     chunk: int = 2048,
+    return_oob: bool = False,
 ):
     """Integrate S scans (sequentially) into the raster. Returns updated
-    (logodds, observed).
+    (logodds, observed), plus — with ``return_oob`` — the i32 count of
+    valid HIT endpoints that fell outside the raster extent (computed on
+    device so the host never re-derives cells just to count them; the
+    caller accumulates the device scalar and fetches it lazily).
 
     ``backend`` selects how the per-sample miss updates reach the raster:
 
@@ -100,7 +106,14 @@ def integrate_scans(
     logodds, observed = jax.lax.fori_loop(
         0, n_scans, one_scan, (logodds, observed)
     )
-    return logodds, observed
+    if not return_oob:
+        return logodds, observed
+    hit_rc = jnp.floor((hits_xy - off) / res).astype(jnp.int32)
+    hit_r, hit_c = hit_rc[..., 1], hit_rc[..., 0]
+    oob = hit_mask & ~(
+        (hit_r >= 0) & (hit_r < h) & (hit_c >= 0) & (hit_c < w)
+    )
+    return logodds, observed, jnp.sum(oob).astype(jnp.int32)
 
 
 def _apply_delta(lo, obs, delta):

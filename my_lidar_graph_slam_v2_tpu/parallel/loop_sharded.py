@@ -157,8 +157,10 @@ class LoopDetectorShardedCorrelative:
             jnp.float32(self.cfg.score_threshold),
             jnp.float32(self.cfg.known_rate_threshold),
         )
+        # np.array (not asarray): jax outputs view as read-only numpy, and
+        # the dense-fallback path below overwrites per-candidate rows
         best_pose, score, known, found, ncost, cov, exact = (
-            np.asarray(o) for o in out
+            np.array(o) for o in out
         )
 
         results = []

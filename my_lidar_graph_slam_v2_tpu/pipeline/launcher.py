@@ -143,6 +143,7 @@ def main(argv=None):
     map_saver.save_pose_graph(slam.pose_graph, f"{out_prefix}.posegraph.json")
     latest_pose, latest_map = slam.get_latest_map()
     map_saver.save_map(latest_map, f"{out_prefix}.latest", latest_pose)
+    slam.builder.flush_oob()  # include global-map construction in the count
     MetricManager.instance().save_json(f"{out_prefix}.metric.json")
     print(f"saved {out_prefix}.png / .posegraph.json / .metric.json",
           file=sys.stderr)

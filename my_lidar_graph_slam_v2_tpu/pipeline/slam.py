@@ -65,15 +65,20 @@ class LidarGraphSlam:
     def append_first_node_and_edge(self, initial_pose, scan_data) -> bool:
         with self._lock:
             cov = np.diag([1e-9, 1e-9, 1e-9])
-            return self.builder.append_scan(
+            inserted = self.builder.append_scan(
                 self.pose_graph, initial_pose, cov, scan_data
             )
+            # Async prefetch: next keyframe's fold inputs (see builder)
+            self.builder.prefill_latest_delta(self.pose_graph)
+            return inserted
 
     def append_node_and_edge(self, relative_pose, covariance, scan_data) -> bool:
         with self._lock:
-            return self.builder.append_scan(
+            inserted = self.builder.append_scan(
                 self.pose_graph, relative_pose, covariance, scan_data
             )
+            self.builder.prefill_latest_delta(self.pose_graph)
+            return inserted
 
     def get_latest_data(self):
         """Rebuild + return the latest rolling map and poses
@@ -166,6 +171,9 @@ class LidarGraphSlam:
                 lm = self.builder.latest_local_map()
                 lm.finished = True
                 self.pose_graph.local_map_nodes[lm.local_map_id].finished = True
+            # Fetch the device-accumulated out-of-extent hit count into
+            # the metric counter (one transfer for the whole run)
+            self.builder.flush_oob()
         if self.backend is not None:
             if self.inline_backend:
                 self.backend.run_step(self)

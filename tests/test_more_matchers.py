@@ -202,3 +202,45 @@ def test_branch_bound_pyramid_cached_per_map(scene):
     assert n_after_first == 2  # prob + observed, first call only
     assert len(calls) == n_after_first  # second detect: no recompute
     np.testing.assert_allclose(s1.estimated_pose, s2.estimated_pose)
+
+
+def test_grid_search_arbitrary_steps(scene):
+    """Arbitrary linear steps (reference accepts any,
+    scan_matcher_grid_search.cpp:84-178): the general gather core must
+    (a) agree with the integer-shift sweep when step == resolution and
+    (b) find the true pose at a non-resolution step."""
+    gm, scan, true_pose = scene
+    init = true_pose + np.array([0.12, -0.09, 0.04])
+
+    m_int = ScanMatcherGridSearch(GridSearchConfig(
+        range_x=0.6, range_y=0.6, range_theta=0.2,
+        step_x=RES, step_y=RES, step_theta=0.02, resolution=RES,
+        crop_rows=384, crop_cols=384,
+    ))
+    s_int = m_int.optimize_pose(ScanMatchingQuery(gm, scan, init))
+
+    # Same grid through the general core (force by epsilon-different step)
+    eps = 1e-7
+    m_gen = ScanMatcherGridSearch(GridSearchConfig(
+        range_x=0.6, range_y=0.6, range_theta=0.2,
+        step_x=RES + eps, step_y=RES + eps, step_theta=0.02, resolution=RES,
+        crop_rows=384, crop_cols=384,
+    ))
+    assert not m_gen.cfg.integer_steps
+    s_gen = m_gen.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    np.testing.assert_allclose(
+        s_gen.estimated_pose, s_int.estimated_pose, atol=1e-4
+    )
+    assert s_gen.normalized_score == pytest.approx(
+        s_int.normalized_score, abs=1e-3
+    )
+
+    # Genuinely non-resolution step: half-cell stepping still locks on
+    m_half = ScanMatcherGridSearch(GridSearchConfig(
+        range_x=0.5, range_y=0.5, range_theta=0.2,
+        step_x=RES / 2, step_y=RES / 2, step_theta=0.02, resolution=RES,
+        crop_rows=384, crop_cols=384,
+    ))
+    s_half = m_half.optimize_pose(ScanMatchingQuery(gm, scan, init))
+    assert s_half.pose_found or s_half.normalized_score > 0.3
+    assert np.linalg.norm(s_half.estimated_pose[:2] - true_pose[:2]) < 0.08

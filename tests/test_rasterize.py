@@ -199,4 +199,6 @@ def test_out_of_extent_hits_counted():
         np.linspace(-np.pi / 2, np.pi / 2, n), np.full(n, 40.0),
     )
     builder.append_scan(PoseGraph(), np.zeros(3), np.eye(3) * 1e-6, scan)
+    # Counted on device, fetched lazily (one transfer per run)
+    builder.flush_oob()
     assert builder._m_oob_hits.value - before >= n
