@@ -148,8 +148,12 @@ def _time_jit(fn, iters, *args):
 def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
                  batch, iters):
     """Per-stage device time (ms per batch) via timed jitted prefixes of
-    the matcher pipeline; stage cost = difference of adjacent prefixes.
-    Also returns an analytic-FLOP MFU estimate for the sweep matmuls."""
+    the production (gather-sweep) matcher pipeline; stage cost =
+    difference of adjacent prefixes.  Also emits the HBM roofline for the
+    sweeps: the bytes each case actually has to move through HBM under
+    the fused-VMEM execution model, the achieved GB/s, and utilization
+    against the device's peak HBM bandwidth (BASELINE.json target #1:
+    "speed-of-light HBM bandwidth per chip")."""
     import jax
     import jax.numpy as jnp
 
@@ -159,6 +163,8 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
     nbx, nby = cfg.blocks
     nxf, nyf = nbx * cfg.low_resolution, nby * cfg.low_resolution
     T = cfg.n_theta_max
+    K = cfg.fine_theta_k if 0 < cfg.fine_theta_k < T else T
+    B = int(ranges.shape[-1])
 
     def coarse_maps(p, o):
         return (pool.sliding_window_max2d(p, cfg.low_resolution),
@@ -177,38 +183,31 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
                 return cp, co
             step_t, t0i, tmask = csm.theta_search_params(
                 r, m, cfg.resolution, cfg.range_theta, T)
-            hr, hc, valid, r0, c0 = csm.beam_cells(
+            row, col, ok = csm.beam_cells_abs(
                 r, a, m, sp, t0i, step_t, tmask, cfg.resolution, off,
-                n_theta=T, crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols)
-            hit = csm.build_hit_images(
-                hr, hc, valid, tmask,
-                crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols)
+                n_theta=T)
             if depth == 1:
-                return hit
-            x0, y0 = jnp.int32(-wx), jnp.int32(-wy)
-            cs, ck = csm.sweep_from_hits(
-                hit, r0, c0, cp, co, x0, y0,
-                nx=nbx, ny=nby, stride=cfg.low_resolution,
-                precision=cfg.precision)
+                return row, col, ok
+            y0, x0 = jnp.int32(-wy), jnp.int32(-wx)
+            cs, ck = csm.sweep_windows(
+                cp, co, row, col, ok, y0, x0,
+                ny=nby, nx=nbx, stride=cfg.low_resolution)
             if depth == 2:
                 return cs, ck
             # Mirror the production top-K theta prune (matching/
             # correlative.py): fine-sweep only the K thetas with the
             # largest coarse upper bound.
-            if 0 < cfg.fine_theta_k < T:
-                bound = jnp.max(
-                    jnp.where(tmask[:, None, None], cs, -jnp.inf),
-                    axis=(1, 2),
-                )
-                _, sel = jax.lax.top_k(bound, cfg.fine_theta_k)
-                hit_sel = jnp.take(hit, sel, axis=0)
-            else:
-                hit_sel = hit
-            fs, fk = csm.sweep_from_hits(
-                hit_sel, r0, c0, p, o, x0, y0,
-                nx=nxf, ny=nyf, stride=1, precision=cfg.precision)
+            bound = jnp.max(
+                jnp.where(tmask[:, None, None], cs, -jnp.inf), axis=(1, 2)
+            )
+            _, sel = jax.lax.top_k(bound, K)
+            fs, fk = csm.sweep_windows(
+                p, o,
+                jnp.take(row, sel, axis=0), jnp.take(col, sel, axis=0),
+                jnp.take(ok, sel, axis=0), y0, x0,
+                ny=nyf, nx=nxf, stride=1)
             if depth == 3:
-                return fs, fk, cs, ck
+                return fs, fk, cs
             # Data-dependent winner pose keeps the chain live
             win = sp.at[0].add(0.001 * jnp.max(fs))
             cost = gauss_newton.cost(
@@ -234,7 +233,7 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
     ms = lambda x: round(1e3 * x, 3)
     stages = {
         "coarse_pool": ms(t[0]),
-        "hit_images": ms(t[1] - t[0]),
+        "beam_geometry": ms(t[1] - t[0]),
         "coarse_sweep": ms(t[2] - t[1]),
         "fine_sweep": ms(t[3] - t[2]),
         "cost_cov": ms(t[4] - t[3]),
@@ -242,29 +241,68 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
         "full_core": None,  # filled by caller from the end-to-end rate
     }
 
-    # Analytic matmul FLOPs of the two sweeps (the MXU work; everything
-    # else is elementwise/scatter).  out = hit[T, crop^2] @ shifts^T
-    # [crop^2, 2*nx*ny]; u8 maps take one exact bf16 pass, f32 maps two
-    # under precision="split".
-    if prob.dtype == jnp.uint8:
-        parts = 1
-    else:
-        parts = 2 if cfg.precision == "split" else 1
-    k = cfg.crop_rows * cfg.crop_cols
-    fine_rows = cfg.fine_theta_k if 0 < cfg.fine_theta_k < T else T
-    sweep_flops = lambda rows, nx, ny: 2.0 * rows * k * (2 * nx * ny) * parts
-    flops_per_case = (
-        sweep_flops(T, nbx, nby) + sweep_flops(fine_rows, nxf, nyf)
-    )
+    # ---- HBM roofline for the sweeps (gather formulation) --------------
+    # Traffic model per case under fused-VMEM execution (what the design
+    # targets): each sweep reads its (prob, observed) planes from HBM
+    # once, writes + reads back the zero-padded copy, and writes the tiny
+    # score grid; the per-window gather traffic itself hits VMEM (the
+    # padded planes fit: ~2.5 MB u8).  The round-4 patch-matmul moved
+    # ~722 MB/case of duplicated map patches through HBM instead — that
+    # is the traffic this formulation deletes.
+    H, W = int(prob.shape[-2]), int(prob.shape[-1])
+    esz = 1 if prob.dtype == jnp.uint8 else 4
+    ext_f = max(nyf, nxf)
+    ext_c = max((nby - 1) * cfg.low_resolution + 1,
+                (nbx - 1) * cfg.low_resolution + 1)
+    plane_pair = lambda pad: 2 * (H + 2 * pad) * (W + 2 * pad) * esz
+    bytes_fine = 2 * H * W * esz + 2 * plane_pair(ext_f)
+    bytes_coarse = 2 * H * W * esz + 2 * plane_pair(ext_c)
+    bytes_out = 4 * (T * nby * nbx + K * nyf * nxf) * 2
+    hbm_bytes = bytes_fine + bytes_coarse + bytes_out
     sweep_time = t[3] - t[1]  # coarse + fine sweep per batch
-    peak = _peak_bf16_flops()
-    mfu = (
-        round(batch * flops_per_case / sweep_time / peak, 4)
-        if (peak and sweep_time > 0) else None
+    achieved_gbps = (
+        batch * hbm_bytes / sweep_time / 1e9 if sweep_time > 0 else None
+    )
+    peak_gbps = _peak_hbm_gbps()
+    # The real limiter once HBM traffic is gone: VPU-side gathered
+    # elements (2 planes per window cell).
+    gathered = B * 2 * (T * (ext_c * ext_c) + K * (nyf * nxf))
+    roofline = dict(
+        hbm_bytes_per_case=hbm_bytes,
+        hbm_achieved_gbps=round(achieved_gbps, 1) if achieved_gbps else None,
+        hbm_peak_gbps=peak_gbps,
+        hbm_utilization=(
+            round(achieved_gbps / peak_gbps, 4)
+            if (achieved_gbps and peak_gbps) else None
+        ),
+        gathered_elements_per_case=gathered,
+        gather_giga_elements_per_sec=(
+            round(batch * gathered / sweep_time / 1e9, 1)
+            if sweep_time > 0 else None
+        ),
     )
     return dict(stages_ms_per_batch=stages, batch=batch,
-                sweep_matmul_tflops_per_case=round(flops_per_case / 1e12, 4),
-                sweep_mfu=mfu)
+                sweep_roofline=roofline)
+
+
+def _peak_hbm_gbps():
+    """Peak HBM bandwidth of device 0 (public spec numbers, GB/s)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "tpu v4": 1228.0,
+        "tpu v5 lite": 819.0,
+        "tpu v5e": 819.0,
+        "tpu v5p": 2765.0,
+        "tpu v5": 2765.0,
+        "tpu v6e": 1640.0,
+        "tpu v6 lite": 1640.0,
+    }
+    for key, v in sorted(table.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(key):
+            return v
+    return None
 
 
 def _peak_bf16_flops():
@@ -360,6 +398,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    from my_lidar_graph_slam_v2_tpu.utils import jaxcache
+
+    jaxcache.enable()
     cases = build_workload()
     cpu_rate_live = bench_cpu(cases)
     pinned = pinned_cpu_baseline(cpu_rate_live)

@@ -72,6 +72,12 @@ class GridMapBuilderConfig:
     # 33 ms per 512-beam scan at 768 samples/beam) with identical counts
     # (ops/rasterize.py:_miss_counts_matmul; scatters serialize on TPU).
     rasterize_backend: str = "matmul"
+    # Single-host memory policy: replace each FINISHED local map's f32
+    # build raster with its u8 matching form + bit-packed observed mask
+    # (LocalMap.compact; ~4.5x smaller).  Loop detection and the global
+    # map are unchanged (see compact()); multi-host owner retention
+    # composes with it (drop_heavy releases the compact form too).
+    compact_finished_maps: bool = True
 
     @property
     def rasterize_crop(self) -> int:
@@ -110,10 +116,49 @@ class LocalMap:
     # 5b: non-owners keep poses + metadata only).
     shape: Optional[tuple] = None
     dropped: bool = False
+    # Compact finished-map storage (single-host memory policy, reference
+    # peak: 82-94 MB at Intel scale, experiments_old.md:199-225): the f32
+    # build raster of a FINISHED map is dead weight — matching uses the
+    # u8-quantized copy (grid/map_cache.py) and the global map rebuilds
+    # from scans (construct_global_map) — so compact() replaces it with
+    # the u8 probability raster + bit-packed observed mask on the host
+    # (~1.1 MB vs 5 MB per 1024^2 map).
+    prob_q: Optional[np.ndarray] = None  # [H, W] u8 host (compacted form)
+    observed_bits: Optional[np.ndarray] = None  # packbits(observed) host
+    compacted: bool = False
 
     def __post_init__(self):
         if self.shape is None and self.observed is not None:
             self.shape = tuple(self.observed.shape)
+
+    @property
+    def holds_raster(self) -> bool:
+        """True when this process can produce the map's raster (either the
+        live f32 build raster or the compacted u8 form)."""
+        return self.logodds is not None or self.compacted
+
+    def compact(self):
+        """Quantize to the matching form and release the f32 build raster.
+
+        Loop-detection scores are unchanged: the device map cache
+        quantizes to exactly this u8 representation on miss anyway
+        (ops/quant.quantize_prob), and the global map is constructed from
+        scans, never from local rasters."""
+        if self.compacted or self.logodds is None:
+            return
+        from ..ops import quant
+
+        self.shape = tuple(self.observed.shape)
+        self.prob_q = np.asarray(
+            quant.quantize_prob(self.logodds, self.observed)
+        )
+        self.observed_bits = np.packbits(
+            np.asarray(self.observed, bool), axis=None
+        )
+        self.logodds = None
+        self.observed = None
+        self.coarse_cache.clear()
+        self.compacted = True
 
     def drop_heavy(self):
         """Release the device rasters + pooled coarse maps, keeping ids,
@@ -124,10 +169,28 @@ class LocalMap:
             self.shape = tuple(self.observed.shape)
         self.logodds = None
         self.observed = None
+        self.prob_q = None
+        self.observed_bits = None
+        self.compacted = False
         self.coarse_cache.clear()
         self.dropped = True
 
     def raster(self, resolution: float) -> MapRaster:
+        if self.compacted:
+            import jax.numpy as jnp
+
+            n = int(np.prod(self.shape))
+            obs = (
+                np.unpackbits(self.observed_bits, axis=None)[:n]
+                .reshape(self.shape).astype(bool)
+            )
+            return MapRaster(
+                jnp.asarray(self.prob_q),
+                jnp.asarray(obs),
+                resolution,
+                self.offset_xy,
+                coarse=self.coarse_cache,
+            )
         if self.logodds is None:
             raise RuntimeError(
                 f"local map {self.local_map_id} raster was dropped by the "
@@ -312,6 +375,8 @@ class GridMapBuilder:
             lm.finished = True
             pose_graph.local_map_nodes[lm.local_map_id].finished = True
             self._m_lm_interval_dist.observe(self.travel_dist_last_local_map)
+            if cfg.compact_finished_maps:
+                lm.compact()
 
         local_map_id = len(self.local_maps)
         local_map_pose = np.asarray(scan_pose, np.float64)
@@ -538,7 +603,15 @@ class GridMapBuilder:
         path folds + quantizes + pools + matches in ONE device dispatch,
         so the latest raster never needs to be materialized separately
         per keyframe.  Returns None when the incremental path does not
-        apply (caller falls back to update_latest_map + latest_raster)."""
+        apply (caller falls back to update_latest_map + latest_raster).
+
+        INVARIANT (advisor r04): this method updates latest_map_pose and
+        latest_scan_id_min/max but deliberately leaves latest_logodds/
+        latest_observed/latest_offset stale (the fold happens inside the
+        fused matcher, never on the builder).  Raster readers must go
+        through get_latest_data()/get_latest_map()/latest_raster(), all
+        of which call update_latest_map() first; never pair a direct
+        latest_logodds read with latest_map_pose after this call."""
         import time as _time
 
         t0 = _time.perf_counter()

@@ -29,6 +29,7 @@ from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Dict
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..matching.types import MapRaster
@@ -79,9 +80,14 @@ class DeviceMapCache:
                 observed = local_map.observed
                 offset_xy = local_map.offset_xy
             else:
-                # Maps carrying a prebuilt raster (tests, external sources)
+                # Compacted finished maps (grid/builder LocalMap.compact)
+                # and maps carrying a prebuilt raster (tests, external
+                # sources); a raster that is already u8 uploads as-is.
                 r = local_map.raster(self.resolution)
-                prob_q = quant.quantize_prob_f32(r.prob)
+                prob_q = (
+                    r.prob if r.prob.dtype == jnp.uint8
+                    else quant.quantize_prob_f32(r.prob)
+                )
                 observed = r.observed
                 offset_xy = r.offset_xy
             h, w = prob_q.shape

@@ -45,7 +45,10 @@ def write_png_gray(path: str, img: np.ndarray):
 
 def render_map(prob: np.ndarray, flip_y: bool = True) -> np.ndarray:
     """Occupancy probabilities (0 = unknown) -> grayscale image, matching
-    the reference's rendering (unknown filled gray, occupied dark)."""
+    the reference's rendering (unknown filled gray, occupied dark).
+    Accepts f32 probabilities or u8 quantized levels (compacted maps)."""
+    if prob.dtype == np.uint8:
+        prob = prob.astype(np.float32) * (1.0 / 255.0)
     img = np.full(prob.shape, 192, np.uint8)  # unknown: gray
     known = prob > 0.0
     img[known] = np.clip((1.0 - prob[known]) * 255.0, 0, 255).astype(np.uint8)

@@ -205,13 +205,18 @@ def _branch_bound_core(
             sensor_pose[2] + btt.astype(jnp.float32) * step_theta,
         ]
     )
-    ncost = gauss_newton.cost(
-        prob, observed, ranges, angles, mask, best_sensor_pose,
+    # Winner cost/covariance through the configured CostType (reference
+    # dispatch: scan_matcher_factory.cpp:30-100) — NOT hard-wired square
+    # error; a GreedyEndpoint-configured matcher must evaluate greedy
+    # endpoint cost here.
+    ccfg = cfg.cost or CostConfig(covariance_scale=cfg.covariance_scale)
+    ncost = cost_at(
+        ccfg, prob, observed, ranges, angles, mask, best_sensor_pose,
         cfg.resolution, offset_xy,
     ) * norm
-    cov = gauss_newton.covariance(
-        prob, observed, ranges, angles, mask, best_sensor_pose,
-        cfg.resolution, offset_xy, cfg.covariance_scale,
+    cov = covariance_at(
+        ccfg, prob, observed, ranges, angles, mask, best_sensor_pose,
+        cfg.resolution, offset_xy,
     )
     return best_sensor_pose, best_score, pose_found, ncost, cov
 

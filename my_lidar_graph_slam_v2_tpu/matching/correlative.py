@@ -62,6 +62,12 @@ class CorrelativeConfig:
     # The core reports an `exact` flag; the host wrapper re-runs the dense
     # sweep on the (rare) inexact case.
     fine_theta_k: int = 32
+    # "gather": per-beam window gather sweeps (ops/csm.sweep_windows) —
+    # ~100x less HBM traffic than the hit-image matmul on TPU, exact f32
+    # scores, no crop clipping (every beam scores, like the reference).
+    # "matmul": the round-4 hit-image x map-patch formulation (kept for
+    # A/B benchmarking; uses crop_rows/crop_cols and `precision`).
+    sweep_backend: str = "gather"
 
     @property
     def win_cells(self):
@@ -110,24 +116,38 @@ def _correlative_core(
     n_valid = jnp.sum(mask).astype(jnp.float32)
     norm = 1.0 / jnp.maximum(n_valid, 1.0)
 
-    # Shared beam geometry + hit images: the coarse and fine sweeps use
-    # identical per-theta endpoint cells, so the (dominant) one-hot hit
-    # image build happens once.
-    hr, hc, valid, r0, c0 = csm.beam_cells(
-        ranges, angles, mask, sensor_pose, theta0, step_theta, theta_mask,
-        cfg.resolution, offset_xy,
-        n_theta=T, crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
-    )
-    hit_img = csm.build_hit_images(
-        hr, hc, valid, theta_mask,
-        crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
-    )
     x0 = jnp.int32(-wx)
     y0 = jnp.int32(-wy)
-    c_scores, c_known = csm.sweep_from_hits(
-        hit_img, r0, c0, coarse_prob, coarse_observed, x0, y0,
-        nx=nbx, ny=nby, stride=cfg.low_resolution, precision=cfg.precision,
-    )
+    gather = cfg.sweep_backend == "gather"
+    if gather:
+        # Per-beam window gathers (ops/csm.sweep_windows): shared absolute
+        # endpoint cells for both sweeps, no crop, no hit images.
+        row, col, ok = csm.beam_cells_abs(
+            ranges, angles, mask, sensor_pose, theta0, step_theta,
+            theta_mask, cfg.resolution, offset_xy, n_theta=T,
+        )
+        c_scores, c_known = csm.sweep_windows(
+            coarse_prob, coarse_observed, row, col, ok, y0, x0,
+            ny=nby, nx=nbx, stride=cfg.low_resolution,
+        )
+    else:
+        # Shared beam geometry + hit images: the coarse and fine sweeps
+        # use identical per-theta endpoint cells, so the (dominant)
+        # one-hot hit image build happens once.
+        hr, hc, valid, r0, c0 = csm.beam_cells(
+            ranges, angles, mask, sensor_pose, theta0, step_theta,
+            theta_mask, cfg.resolution, offset_xy,
+            n_theta=T, crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
+        )
+        hit_img = csm.build_hit_images(
+            hr, hc, valid, theta_mask,
+            crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
+        )
+        c_scores, c_known = csm.sweep_from_hits(
+            hit_img, r0, c0, coarse_prob, coarse_observed, x0, y0,
+            nx=nbx, ny=nby, stride=cfg.low_resolution,
+            precision=cfg.precision,
+        )
 
     # Reference gating: a fine candidate is reachable iff its coarse block
     # beats BOTH thresholds (scan_matcher_correlative.cpp:178-189)
@@ -145,17 +165,30 @@ def _correlative_core(
         )  # [T]
         kth_bound, sel_theta = jax.lax.top_k(bound, K)
         kth_bound = kth_bound[K - 1]
-        hit_sel = jnp.take(hit_img, sel_theta, axis=0)
         ok_rows = jnp.take(block_ok, sel_theta, axis=0)
     else:
         sel_theta = jnp.arange(T, dtype=jnp.int32)
-        hit_sel = hit_img
         ok_rows = block_ok
 
-    f_scores, f_known = csm.sweep_from_hits(
-        hit_sel, r0, c0, prob, observed, x0, y0,
-        nx=nxf, ny=nyf, stride=1, precision=cfg.precision,
-    )  # [R, nyf, nxf] with R = K or T
+    if gather:
+        if use_topk:
+            row_sel = jnp.take(row, sel_theta, axis=0)
+            col_sel = jnp.take(col, sel_theta, axis=0)
+            ok_sel = jnp.take(ok, sel_theta, axis=0)
+        else:
+            row_sel, col_sel, ok_sel = row, col, ok
+        f_scores, f_known = csm.sweep_windows(
+            prob, observed, row_sel, col_sel, ok_sel, y0, x0,
+            ny=nyf, nx=nxf, stride=1,
+        )  # [R, nyf, nxf] with R = K or T
+    else:
+        hit_sel = (
+            jnp.take(hit_img, sel_theta, axis=0) if use_topk else hit_img
+        )
+        f_scores, f_known = csm.sweep_from_hits(
+            hit_sel, r0, c0, prob, observed, x0, y0,
+            nx=nxf, ny=nyf, stride=1, precision=cfg.precision,
+        )
 
     eligible = jnp.repeat(
         jnp.repeat(ok_rows, cfg.low_resolution, axis=1),

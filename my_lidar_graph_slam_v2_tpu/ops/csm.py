@@ -351,6 +351,106 @@ def sweep_from_hits(
     return scores, known
 
 
+def beam_cells_abs(
+    ranges, angles, beam_mask, sensor_pose, theta0_index, step_theta,
+    theta_mask, resolution, offset_xy, *, n_theta,
+):
+    """Per-(theta, beam) endpoint cells in MAP cell coordinates.
+
+    Unlike :func:`beam_cells` there is no crop: every valid beam
+    participates (the reference evaluates all beams with out-of-map
+    lookups reading unknown, ``score_function_pixel_accurate.cpp:16-58``).
+    Returns ``(row, col, ok)`` with shape [n_theta, B]; ``ok`` folds beam
+    validity and theta-window membership.
+    """
+    res = jnp.float32(resolution)
+    t_idx = theta0_index + jnp.arange(n_theta, dtype=jnp.int32)
+    thetas = sensor_pose[2] + t_idx.astype(jnp.float32) * step_theta
+    ang = thetas[:, None] + angles[None, :]  # [T, B]
+    hx = sensor_pose[0] + ranges[None, :] * jnp.cos(ang)
+    hy = sensor_pose[1] + ranges[None, :] * jnp.sin(ang)
+    col = jnp.floor((hx - offset_xy[0]) / res).astype(jnp.int32)
+    row = jnp.floor((hy - offset_xy[1]) / res).astype(jnp.int32)
+    ok = beam_mask[None, :] & theta_mask[:, None]
+    return row, col, ok
+
+
+def sweep_windows(
+    prob, observed, row, col, ok, y0, x0,
+    *, ny, nx, stride=1,
+):
+    """CSM score sweep by per-beam window gather (the TPU fast path).
+
+    ``S[t, j, i] = sum_b prob[row[t,b] + y0 + j*stride,
+    col[t,b] + x0 + i*stride]`` over valid beams, with out-of-map cells
+    contributing unknown (0) — exactly the reference's per-candidate
+    scoring loop (``scan_matcher_correlative.cpp:301-368``) with the
+    (theta, beam) axes laid out for the VPU.
+
+    This replaces the round-4 hit-image x map-patch matmul formulation:
+    that one duplicated the map crop once per window offset (~720 MB of
+    HBM patch traffic per case) and was bandwidth-bound at 8.5 ms per
+    8-case batch; the gather reads each window cell once from planes that
+    fit in VMEM, and XLA fuses gather -> bf16 -> ones-contraction without
+    materializing the windows (measured 0.08 ms per 8-case batch on a
+    v5e, ~100x).  Scores are EXACT: u8 maps gather integer levels (exact
+    in bf16, f32 MXU accumulation), f32 maps contract in f32.
+
+    Out-of-map semantics come for free from the zero padding: window
+    starts are clipped into the padded plane, so a window that hangs off
+    the map reads zeros exactly where the reference reads unknown.
+    Invalid (beam, theta) pairs are redirected to the all-zero pad corner.
+
+    Returns ``(scores, known)`` f32 ``[T, ny, nx]``.
+    """
+    ext_y = (ny - 1) * stride + 1
+    ext_x = (nx - 1) * stride + 1
+    pad = max(ext_y, ext_x)
+    u8 = prob.dtype == jnp.uint8
+    if u8:
+        planes = jnp.stack(
+            [prob, observed.astype(jnp.uint8) * jnp.uint8(255)], axis=0
+        )
+    else:
+        planes = jnp.stack(
+            [quant.dequant_prob(prob), observed.astype(jnp.float32)], axis=0
+        )
+    planes = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)))
+    # Window start per (theta, beam); invalid pairs land in the zero pad.
+    sr = jnp.where(ok, row + y0 + pad, 0)
+    sc = jnp.where(ok, col + x0 + pad, 0)
+    sr = jnp.clip(sr, 0, planes.shape[1] - ext_y)
+    sc = jnp.clip(sc, 0, planes.shape[2] - ext_x)
+
+    def win(a, b):
+        return jax.lax.dynamic_slice(
+            planes, (jnp.int32(0), a, b), (2, ext_y, ext_x)
+        )
+
+    w = jax.vmap(jax.vmap(win))(sr, sc)  # [T, B, 2, ext_y, ext_x]
+    if stride > 1:
+        w = w[..., ::stride, ::stride]
+    T_dim, B_dim = row.shape
+    wf = w.reshape(T_dim, B_dim, -1)
+    # Beam sum as a ones-contraction: keeps the reduction on the matmul
+    # path XLA fuses with the gather (a plain jnp.sum over the major beam
+    # axis materializes the [T, B, window] intermediate in HBM).
+    if u8:
+        out = jax.lax.dot_general(
+            jnp.ones((B_dim,), jnp.bfloat16), wf.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * np.float32(1.0 / 255.0)
+    else:
+        out = jax.lax.dot_general(
+            jnp.ones((B_dim,), jnp.float32), wf,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out = out.reshape(T_dim, 2, ny, nx)
+    return out[:, 0], out[:, 1]
+
+
 def theta_search_params(ranges, beam_mask, resolution, range_theta, n_theta):
     """Search step and window in theta, per the reference
     (``scan_matcher_correlative.cpp:255-274``): ``step = acos(1 - 0.5 *

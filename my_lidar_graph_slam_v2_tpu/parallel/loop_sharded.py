@@ -62,6 +62,13 @@ def make_batched_loop_csm(mesh: Mesh, cfg: CorrelativeConfig):
 
     batched = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
 
+    if mesh.devices.size == 1:
+        # Single device: the vmap core alone is the whole batch — one
+        # dispatch for ALL candidates of a backend step (vs one dispatch
+        # per candidate in the serial detector), no shard_map wrapper
+        # needed (round-4 verdict #4).
+        return jax.jit(batched)
+
     sharded = jax.shard_map(
         batched,
         mesh=mesh,
@@ -113,7 +120,11 @@ class LoopDetectorShardedCorrelative:
         if not queries:
             return []
         D = self.mesh.devices.size
-        C = ((len(queries) + D - 1) // D) * D
+        # Pad the candidate count to a power-of-two multiple of the device
+        # count: the compiled batch shapes form a small bucket set (1, 2,
+        # 4, ... per device) instead of one executable per distinct count.
+        per_dev = max(1, -(-len(queries) // D))
+        C = D * (1 << (per_dev - 1).bit_length())
 
         probs, obss, rngs, angs, msks, poses, offs = [], [], [], [], [], [], []
         rasters = {}

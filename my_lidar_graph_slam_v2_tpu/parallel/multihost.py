@@ -135,7 +135,7 @@ def apply_owner_retention(
         for lm in builder.local_maps[:cutoff_map]:
             if not lm.finished or owner_of(lm.local_map_id, Pn) == pid:
                 continue
-            if lm.logodds is not None:
+            if lm.holds_raster:
                 lm.drop_heavy()
                 dropped_rasters += 1
             for nid in range(lm.scan_node_id_min,
@@ -147,7 +147,7 @@ def apply_owner_retention(
         dropped_rasters=dropped_rasters,
         dropped_scans=dropped_scans,
         rasters_held=sum(
-            1 for lm in builder.local_maps if lm.logodds is not None
+            1 for lm in builder.local_maps if lm.holds_raster
         ),
         scan_buffers_held=sum(
             1 for n in pose_graph.scan_nodes if n.scan_data is not None

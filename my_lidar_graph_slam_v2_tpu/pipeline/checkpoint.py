@@ -32,6 +32,10 @@ from ..sensor.data import ScanData
 
 
 def save(slam, prefix: str):
+    # Mid-run snapshots must carry the true out-of-extent count, not 0:
+    # the counter is device-accumulated and only lands in the metric
+    # registry on flush (advisor r04).
+    slam.builder.flush_oob()
     map_saver.save_pose_graph(slam.pose_graph, f"{prefix}.posegraph.json")
     scans = {}
     meta = []
@@ -57,6 +61,12 @@ def save(slam, prefix: str):
     np.savez_compressed(f"{prefix}.scans.npz", **scans)
     maps = {}
     for lm in slam.builder.local_maps:
+        if lm.compacted:
+            # Compacted finished map (LocalMap.compact): persist the u8
+            # form — the round trip is bit-exact by construction.
+            maps[f"pq_{lm.local_map_id}"] = lm.prob_q
+            maps[f"obs_{lm.local_map_id}"] = lm.observed_bits
+            continue
         if lm.logodds is None:  # dropped on this rank: the owner saves it
             continue
         maps[f"lo_{lm.local_map_id}"] = np.asarray(lm.logodds, np.float32)
@@ -148,7 +158,16 @@ def load(slam, prefix: str):
             scan_node_id_max=lm_meta["scan_max"],
             finished=lm_meta["finished"],
         )
-        if f"lo_{mid}" in maps:
+        if f"pq_{mid}" in maps:
+            # Compacted u8 raster (LocalMap.compact): bit-exact restore
+            # of the compact form.
+            lm.logodds = None
+            lm.observed = None
+            lm.shape = (cfg.local_map_rows, cfg.local_map_cols)
+            lm.prob_q = maps[f"pq_{mid}"]
+            lm.observed_bits = maps[f"obs_{mid}"]
+            lm.compacted = True
+        elif f"lo_{mid}" in maps:
             # Saved raster: exact, no re-rasterization needed
             import jax.numpy as jnp
 

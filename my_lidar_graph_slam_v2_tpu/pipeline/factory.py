@@ -56,22 +56,29 @@ def create_default_backend(
     detector (2.5 m x 2.5 m x 0.5 rad window) + LM optimizer, matching
     ``launcher_settings_default.json`` /Backend.
 
-    ``sharded=None`` (default) fans loop candidates out across all local
-    devices whenever more than one is present — the N-device
-    generalization of the reference's 2-IP-core parallel detector
-    (``loop_detector_fpga_parallel.cpp:32-68``), with identical loop
-    edges to the serial detector (tests/test_parallel.py).  Pass False to
-    force the serial per-candidate detector, True to require the sharded
-    one."""
+    ``sharded=None`` (default) runs all of a backend step's loop
+    candidates as ONE batched dispatch (vmap), fanned out across all
+    local devices when more than one accelerator is present — the
+    N-device generalization of the reference's 2-IP-core parallel
+    detector (``loop_detector_fpga_parallel.cpp:32-68``), with identical
+    loop edges to the serial detector (tests/test_parallel.py).  On CPU
+    hosts the batch stays on one device even when virtual devices are
+    forced (fan-out over ``xla_force_host_platform_device_count`` shards
+    is pure overhead).  Pass False to force the serial per-candidate
+    fused detector, True to require the full-mesh fan-out."""
     from ..graph.optimizer import OptimizerConfig, PoseGraphOptimizer
     from ..loop.detector import LoopDetectorConfig, LoopDetectorCorrelative
     from ..loop.searcher import LoopSearcherConfig, LoopSearcherNearest
     from .backend import LidarGraphSlamBackend
 
+    mesh_devices = None
     if sharded is None:
         import jax
 
-        sharded = len(jax.devices()) > 1
+        devs = jax.devices()
+        sharded = True  # batched detector at any device count
+        if devs[0].platform == "cpu" and len(devs) > 1:
+            mesh_devices = 1
     if sharded:
         from ..parallel.loop_sharded import LoopDetectorShardedCorrelative
         from ..parallel.mesh import make_mesh
@@ -98,7 +105,7 @@ def create_default_backend(
             ),
             loop_cfg,
             final_matcher,
-            make_mesh(),
+            make_mesh(mesh_devices),
             resolution=resolution,
         )
         searcher = LoopSearcherNearest(

@@ -49,6 +49,12 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    # One-time-cost analog of the reference's bitstream load
+    # (slam_launcher.cpp:83-107): compiled cores persist across runs.
+    from ..utils import jaxcache
+
+    jaxcache.enable()
+
     from ..config.settings import create_slam_from_settings, load_settings
     from ..io import map_saver
     from ..io.carmen import read_carmen_log

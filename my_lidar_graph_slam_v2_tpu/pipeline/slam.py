@@ -171,6 +171,8 @@ class LidarGraphSlam:
                 lm = self.builder.latest_local_map()
                 lm.finished = True
                 self.pose_graph.local_map_nodes[lm.local_map_id].finished = True
+                if self.builder.cfg.compact_finished_maps:
+                    lm.compact()
             # Fetch the device-accumulated out-of-extent hit count into
             # the metric counter (one transfer for the whole run)
             self.builder.flush_oob()

@@ -198,6 +198,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    from my_lidar_graph_slam_v2_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
     result = run(
         target_keyframes=args.keyframes,
         seed=args.seed,

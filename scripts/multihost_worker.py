@@ -121,7 +121,7 @@ def main():
         all_map_ids=sorted(lm.local_map_id for lm in slam.builder.local_maps),
         rasters_held_ids=sorted(
             lm.local_map_id for lm in slam.builder.local_maps
-            if lm.logodds is not None
+            if lm.holds_raster
         ),
         scan_buffers_held=sum(
             1 for n in slam.pose_graph.scan_nodes if n.scan_data is not None

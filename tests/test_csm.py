@@ -125,3 +125,95 @@ def test_theta_params():
     win = int(np.ceil(0.25 / step))
     assert int(t0) == -min(win, 128)
     assert int(tmask.sum()) == min(2 * win + 1, 256 - (128 - win) if win < 128 else 256)
+
+
+def run_sweep_gather(geom, prob, observed, ranges, angles, sensor_pose,
+                     n_theta=31, nx=9, ny=9, stride=1, x0=-4, y0=-4,
+                     step_theta=0.01, theta0=-15, dtype=jnp.float32):
+    if dtype == jnp.uint8:
+        prob_a = jnp.asarray(np.round(prob * 255.0), jnp.uint8)
+    else:
+        prob_a = jnp.asarray(prob, dtype)
+    row, col, ok = csm.beam_cells_abs(
+        jnp.asarray(ranges, jnp.float32),
+        jnp.asarray(angles, jnp.float32),
+        jnp.ones(len(ranges), bool),
+        jnp.asarray(sensor_pose, jnp.float32),
+        jnp.int32(theta0),
+        jnp.float32(step_theta),
+        jnp.ones(n_theta, bool),
+        geom.resolution,
+        jnp.array([geom.offset_x, geom.offset_y], jnp.float32),
+        n_theta=n_theta,
+    )
+    scores, known = csm.sweep_windows(
+        prob_a, jnp.asarray(observed), row, col, ok,
+        jnp.int32(y0), jnp.int32(x0), ny=ny, nx=nx, stride=stride,
+    )
+    return np.asarray(scores), np.asarray(known)
+
+
+def test_sweep_windows_gather_matches_oracle():
+    """The per-beam window-gather sweep (ops/csm.sweep_windows, the TPU
+    fast path) reproduces the reference scoring semantics
+    (score_function_pixel_accurate.cpp:16-58): per-beam map lookups with
+    out-of-map reading unknown — including beams whose windows hang off
+    the map edge (no crop clipping at all)."""
+    rng = np.random.default_rng(7)
+    geom, prob, observed, ranges, angles, pose = setup_case(rng)
+    scores, known = run_sweep_gather(
+        geom, prob, observed, ranges, angles, pose
+    )
+    S, K = oracle_scores(geom, prob, ranges, angles, pose,
+                         31, 9, 9, 1, -4, -4, 0.01, -15)
+    close = np.isclose(scores, S, atol=2e-2)
+    assert close.mean() > 0.97, close.mean()
+    kclose = np.isclose(known, K, atol=1.01)
+    assert kclose.mean() > 0.97
+
+    # strided (coarse-style) windows
+    scores_s, _ = run_sweep_gather(
+        geom, prob, observed, ranges, angles, pose,
+        n_theta=11, nx=4, ny=4, stride=5, x0=-8, y0=-8, theta0=-5,
+    )
+    S_s, _ = oracle_scores(geom, prob, ranges, angles, pose,
+                           11, 4, 4, 5, -8, -8, 0.01, -5)
+    close = np.isclose(scores_s, S_s, atol=2e-2)
+    assert close.mean() > 0.97, close.mean()
+
+
+def test_sweep_windows_gather_u8_exact_vs_f32():
+    """u8 maps take the exact integer bf16 contraction: scores equal the
+    f32 evaluation of the same quantized map to f32 roundoff."""
+    rng = np.random.default_rng(13)
+    geom, prob, observed, ranges, angles, pose = setup_case(rng)
+    prob_q = np.round(prob * 255.0) / 255.0
+    s_u8, k_u8 = run_sweep_gather(
+        geom, prob_q, observed, ranges, angles, pose, dtype=jnp.uint8
+    )
+    s_f32, k_f32 = run_sweep_gather(
+        geom, prob_q, observed, ranges, angles, pose, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(s_u8, s_f32, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(k_u8, k_f32, rtol=1e-6, atol=1e-5)
+
+
+def test_sweep_windows_edge_beams_read_unknown():
+    """Beams pointing far outside the raster contribute exactly zero to
+    score AND known count (reference: out-of-map lookups are unknown)."""
+    geom = GridGeometry(resolution=0.05, rows=64, cols=64,
+                        offset_x=-1.6, offset_y=-1.6)
+    prob = np.full((64, 64), 0.9)
+    observed = np.ones((64, 64), bool)
+    # One beam lands mid-map, one lands 10 m off the east edge
+    ranges = np.array([0.5, 10.0])
+    angles = np.array([0.0, 0.0])
+    pose = np.zeros(3)
+    scores, known = run_sweep_gather(
+        geom, prob, observed, ranges, angles, pose,
+        n_theta=3, nx=3, ny=3, stride=1, x0=-1, y0=-1,
+        step_theta=0.01, theta0=-1,
+    )
+    # Only the in-map beam scores: 0.9 per candidate, known 1
+    np.testing.assert_allclose(scores, 0.9, atol=1e-5)
+    np.testing.assert_allclose(known, 1.0, atol=1e-5)

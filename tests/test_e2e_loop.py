@@ -72,3 +72,65 @@ def test_suffix_propagation_consistency(loop_run):
         recon = P.compound(mp, node.local_pose)
         err = np.linalg.norm(recon[:2] - node.global_pose[:2])
         assert err < 0.5, err
+
+
+def test_compact_finished_maps_equivalence():
+    """Single-host memory policy (grid/builder LocalMap.compact): finished
+    local maps drop their f32 build raster for the u8 matching form +
+    bit-packed observed mask.  Loop edges and the global map must be
+    IDENTICAL to a run with compaction off — matching already runs on the
+    u8-quantized copy (grid/map_cache.py) and the global map is built
+    from scans (builder.construct_global_map), so nothing downstream ever
+    reads the dropped f32 raster.  Reference memory bar: 82-94 MB peak at
+    Intel scale (experiments_old.md:199-225)."""
+    world = synthetic.World.office(seed=3, size=9.0)
+    traj = synthetic.loop_trajectory(size=9.0, laps=1.1, step=0.2)
+    seq = synthetic.generate(
+        world, traj, n_beams=121, max_range=10.0,
+        range_noise=0.01, odom_noise=(0.03, 0.012), seed=3,
+    )
+
+    def run(compact):
+        backend = create_default_backend(
+            beam_capacity=256, usable_range_max=10.0,
+            n_theta_max=64, crop=384,
+            searcher_overrides=dict(travel_dist_threshold=5.0),
+        )
+        slam = create_default_slam(
+            map_rows=512, map_cols=512, beam_capacity=256,
+            samples_per_beam=320, usable_range_max=10.0,
+            n_theta_max=64, crop=320, backend=backend,
+            builder_overrides=dict(compact_finished_maps=compact),
+        )
+        slam.start_backend()
+        for scan in seq.scans:
+            slam.process_scan(scan, scan.odom_pose)
+        slam.stop_backend()
+        pose, gmap = slam.get_global_map()
+        return slam, pose, np.asarray(gmap.prob)
+
+    slam_c, pose_c, gmap_c = run(True)
+    slam_n, pose_n, gmap_n = run(False)
+
+    finished = [lm for lm in slam_c.builder.local_maps if lm.finished]
+    assert finished, "run produced no finished local maps"
+    for lm in finished:
+        assert lm.compacted and lm.logodds is None and lm.holds_raster
+        # the compact raster reproduces the matching form exactly
+        r = lm.raster(slam_c.builder.cfg.resolution)
+        assert r.prob.dtype == np.uint8
+
+    loops_c = [(e.local_map_node_id, e.scan_node_id)
+               for e in slam_c.pose_graph.edges if e.is_loop]
+    loops_n = [(e.local_map_node_id, e.scan_node_id)
+               for e in slam_n.pose_graph.edges if e.is_loop]
+    assert loops_c == loops_n and len(loops_c) >= 1
+    np.testing.assert_allclose(pose_c, pose_n, atol=1e-9)
+    np.testing.assert_array_equal(gmap_c, gmap_n)
+
+    # retention: compact form is ~4.5x smaller than the f32+bool raster
+    h, w = slam_c.builder.cfg.local_map_rows, slam_c.builder.cfg.local_map_cols
+    full_bytes = 5 * h * w
+    for lm in finished:
+        compact_bytes = lm.prob_q.nbytes + lm.observed_bits.nbytes
+        assert compact_bytes < 0.3 * full_bytes

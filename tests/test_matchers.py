@@ -211,53 +211,140 @@ def test_gn_refine_unbiased_subcell():
 
 def test_topk_fine_sweep_matches_dense():
     """The top-K-theta pruned fine sweep (CorrelativeConfig.fine_theta_k)
-    must reproduce the dense sweep's argmax exactly whenever it reports
+    must reproduce the dense sweep's argmax whenever it reports
     exact=True, and the host wrapper must fall back to the dense sweep
-    when it cannot certify the winner (tiny K forces that path)."""
+    when it cannot certify the winner (tiny K forces that path).
+
+    On u8-quantized maps (the production dtype: grid/builder
+    latest_raster, grid/map_cache) the gather sweep's scores are integer
+    sums — bit-exact between the K-row and T-row program shapes, so
+    winner poses/scores must be IDENTICAL.  On f32 maps the reduction
+    order may differ between the two shapes (last-ulp score jitter), so
+    scores are compared to 1e-5 relative instead."""
     from my_lidar_graph_slam_v2_tpu.matching.correlative import (
         _correlative_core,
     )
+    from my_lidar_graph_slam_v2_tpu.matching.types import MapRaster
+    from my_lidar_graph_slam_v2_tpu.ops import quant
 
     rng = np.random.default_rng(11)
     true_pose = np.array([0.3, -0.2, 0.15])
-    gm, _ = build_map(
+    gm_f32, _ = build_map(
         [np.array([0.0, 0.0, 0.0])] * 4 + [true_pose] * 4, rng=rng
     )
-    coarse_p = pool.sliding_window_max2d(gm.prob, 5)
-    coarse_o = pool.sliding_window_max2d(gm.observed, 5)
+    prob_u8 = (
+        jnp.round(quant.dequant_prob(gm_f32.prob) * 255.0)
+        .astype(jnp.uint8)
+    )
+    gm_u8 = MapRaster(prob_u8, gm_f32.observed, RES, gm_f32.offset_xy)
 
-    for seed in range(4):
-        r2 = np.random.default_rng(100 + seed)
-        pose = true_pose + r2.uniform(-0.08, 0.08, 3)
-        scan = make_scan_arrays(pose, rng=r2)
-        init = pose + r2.uniform(-0.05, 0.05, 3)
-        for k in (1, 4, 32):
-            cfg = CorrelativeConfig(
-                crop_rows=320, crop_cols=320, fine_theta_k=k
-            )
-            args = (
-                cfg, gm.prob, gm.observed, coarse_p, coarse_o,
-                scan.ranges, scan.angles, scan.mask,
-                jnp.asarray(init, jnp.float32),
-                jnp.asarray(gm.offset_xy, jnp.float32),
-                jnp.float32(0.0), jnp.float32(0.0),
-            )
-            topk = _correlative_core(*args)
-            dense = _correlative_core(*args, dense=True)
-            if bool(topk[-1]):  # certified exact: identical winner
-                np.testing.assert_array_equal(
-                    np.asarray(topk[0]), np.asarray(dense[0])
+    for gm, exact_dtype in ((gm_u8, True), (gm_f32, False)):
+        coarse_p = pool.sliding_window_max2d(gm.prob, 5)
+        coarse_o = pool.sliding_window_max2d(gm.observed, 5)
+        for seed in range(4):
+            r2 = np.random.default_rng(100 + seed)
+            pose = true_pose + r2.uniform(-0.08, 0.08, 3)
+            scan = make_scan_arrays(pose, rng=r2)
+            init = pose + r2.uniform(-0.05, 0.05, 3)
+            for k in (1, 4, 32):
+                cfg = CorrelativeConfig(
+                    crop_rows=320, crop_cols=320, fine_theta_k=k
                 )
-                assert float(topk[1]) == float(dense[1])
-            # Host wrapper result must ALWAYS equal the dense argmax
-            # (fallback path when inexact).
-            matcher = ScanMatcherCorrelative(cfg)
-            summary = matcher.optimize_pose(ScanMatchingQuery(gm, scan, init))
-            d_est = P.move_backward(
-                np.asarray(dense[0], np.float64), scan.rel_sensor_pose
-            )
-            np.testing.assert_allclose(summary.estimated_pose, d_est,
-                                       rtol=0, atol=1e-12)
-            assert summary.normalized_score == pytest.approx(
-                float(dense[1]), abs=0
-            )
+                args = (
+                    cfg, gm.prob, gm.observed, coarse_p, coarse_o,
+                    scan.ranges, scan.angles, scan.mask,
+                    jnp.asarray(init, jnp.float32),
+                    jnp.asarray(gm.offset_xy, jnp.float32),
+                    jnp.float32(0.0), jnp.float32(0.0),
+                )
+                topk = _correlative_core(*args)
+                dense = _correlative_core(*args, dense=True)
+                if bool(topk[-1]):  # certified exact: identical winner
+                    if exact_dtype:
+                        np.testing.assert_array_equal(
+                            np.asarray(topk[0]), np.asarray(dense[0])
+                        )
+                        assert float(topk[1]) == float(dense[1])
+                    else:
+                        np.testing.assert_allclose(
+                            np.asarray(topk[0]), np.asarray(dense[0]),
+                            atol=1e-6,
+                        )
+                        assert float(topk[1]) == pytest.approx(
+                            float(dense[1]), rel=1e-5
+                        )
+                # Host wrapper result must ALWAYS equal the dense argmax
+                # (fallback path when inexact).
+                matcher = ScanMatcherCorrelative(cfg)
+                summary = matcher.optimize_pose(
+                    ScanMatchingQuery(gm, scan, init)
+                )
+                d_est = P.move_backward(
+                    np.asarray(dense[0], np.float64), scan.rel_sensor_pose
+                )
+                atol = 1e-12 if exact_dtype else 1e-6
+                np.testing.assert_allclose(summary.estimated_pose, d_est,
+                                           rtol=0, atol=atol)
+                assert summary.normalized_score == pytest.approx(
+                    float(dense[1]), rel=(0 if exact_dtype else 1e-5)
+                )
+
+
+def test_grid_search_and_bb_honor_configured_cost():
+    """A GreedyEndpoint-configured GridSearch/BranchBound matcher must
+    evaluate its winner's cost/covariance through greedy-endpoint cost,
+    returning a DIFFERENT value than SquareError on the same query — the
+    reference dispatches CostType per matcher (scan_matcher_factory.cpp:
+    30-100, cost_function_factory.cpp:51-66), never hard-wires square
+    error."""
+    from my_lidar_graph_slam_v2_tpu.matching.branch_bound import (
+        BranchBoundConfig,
+        ScanMatcherBranchBound,
+    )
+    from my_lidar_graph_slam_v2_tpu.matching.cost import CostConfig
+    from my_lidar_graph_slam_v2_tpu.matching.grid_search import (
+        GridSearchConfig,
+        ScanMatcherGridSearch,
+    )
+
+    rng = np.random.default_rng(11)
+    true_pose = np.array([0.3, -0.2, 0.1])
+    gm, _ = build_map(
+        [np.array([0.0, 0.0, 0.0])] * 5 + [true_pose] * 5, rng=rng
+    )
+    scan = make_scan_arrays(true_pose)
+    init = true_pose + np.array([0.06, -0.04, 0.05])
+    ge = CostConfig(cost_type="GreedyEndpoint")
+
+    for mk_sq, mk_ge in [
+        (
+            ScanMatcherGridSearch(GridSearchConfig(
+                range_x=0.3, range_y=0.3, range_theta=0.2,
+                crop_rows=320, crop_cols=320)),
+            ScanMatcherGridSearch(GridSearchConfig(
+                range_x=0.3, range_y=0.3, range_theta=0.2,
+                crop_rows=320, crop_cols=320, cost=ge)),
+        ),
+        (
+            ScanMatcherBranchBound(BranchBoundConfig(
+                range_x=0.3, range_y=0.3, range_theta=0.2,
+                n_theta_max=64, crop_rows=320, crop_cols=320)),
+            ScanMatcherBranchBound(BranchBoundConfig(
+                range_x=0.3, range_y=0.3, range_theta=0.2,
+                n_theta_max=64, crop_rows=320, crop_cols=320, cost=ge)),
+        ),
+    ]:
+        q = ScanMatchingQuery(gm, scan, init)
+        s_sq = mk_sq.optimize_pose(q)
+        s_ge = mk_ge.optimize_pose(q)
+        # Same search, same winner pose...
+        np.testing.assert_allclose(
+            s_sq.estimated_pose, s_ge.estimated_pose, atol=1e-9
+        )
+        # ...but the configured cost function actually ran: values differ
+        assert s_sq.normalized_cost != pytest.approx(
+            s_ge.normalized_cost, rel=1e-6
+        ), type(mk_sq).__name__
+        assert not np.allclose(s_sq.covariance, s_ge.covariance), (
+            type(mk_sq).__name__
+        )

@@ -94,23 +94,32 @@ def test_sharded_loop_detector_matches_serial():
     serial = LoopDetectorCorrelative(dcfg, ScanMatcherCorrelative(mcfg), final)
     res_serial = serial.detect(queries)
 
-    mesh = make_mesh()
-    sharded = LoopDetectorShardedCorrelative(dcfg, mcfg, final, mesh)
-    res_sharded = sharded.detect(queries)
+    # Full-mesh fan-out AND single-device vmap batch (the 1-device mesh
+    # takes the no-shard_map path — round-4 verdict #4) must both match
+    # the serial detector's edges.
+    for n_dev in (None, 1):
+        mesh = make_mesh(n_dev)
+        sharded = LoopDetectorShardedCorrelative(dcfg, mcfg, final, mesh)
+        res_sharded = sharded.detect(queries)
 
-    assert len(res_serial) == len(res_sharded) == 2
-    for a, b in zip(res_serial, res_sharded):
-        np.testing.assert_allclose(
-            a["relative_pose"], b["relative_pose"], atol=2e-2
-        )
-        assert a["score"] == pytest.approx(b["score"], abs=1e-3)
+        assert len(res_serial) == len(res_sharded) == 2
+        for a, b in zip(res_serial, res_sharded):
+            np.testing.assert_allclose(
+                a["relative_pose"], b["relative_pose"], atol=2e-2
+            )
+            assert a["score"] == pytest.approx(b["score"], abs=1e-3)
 
 
-def test_default_backend_fans_out_when_multi_device():
-    """create_default_backend auto-selects the sharded candidate fan-out
-    whenever >1 device is present (the N-device generalization of the
-    reference's LoopDetectorFPGAParallel, loop_detector_fpga_parallel.cpp:
-    32-68); sharded=False forces the serial per-candidate detector."""
+def test_default_backend_batches_candidates():
+    """create_default_backend always selects the batched loop detector
+    (one dispatch per backend step); on CPU hosts with forced virtual
+    devices the batch stays on ONE device (fan-out over virtual shards
+    is pure overhead), while sharded=True forces the full-mesh fan-out
+    (the N-device generalization of the reference's
+    LoopDetectorFPGAParallel, loop_detector_fpga_parallel.cpp:32-68);
+    sharded=False forces the serial per-candidate detector."""
+    import jax
+
     from my_lidar_graph_slam_v2_tpu.loop.detector import (
         LoopDetectorCorrelative,
     )
@@ -123,7 +132,11 @@ def test_default_backend_fans_out_when_multi_device():
 
     auto = create_default_backend(n_theta_max=32, crop=256)
     assert isinstance(auto.loop_detector, LoopDetectorShardedCorrelative)
-    assert auto.loop_detector.mesh.devices.size == 8
+    expect = 1 if jax.devices()[0].platform == "cpu" else len(jax.devices())
+    assert auto.loop_detector.mesh.devices.size == expect
+
+    full = create_default_backend(n_theta_max=32, crop=256, sharded=True)
+    assert full.loop_detector.mesh.devices.size == len(jax.devices())
 
     serial = create_default_backend(n_theta_max=32, crop=256, sharded=False)
     assert isinstance(serial.loop_detector, LoopDetectorCorrelative)
