@@ -194,7 +194,7 @@ def create_slam_from_settings(
     map_rows: int = 1024,
     map_cols: int = 1024,
     n_theta_max: int = 208,
-    crop: int = 384,
+    crop: int = 320,  # reference FPGA map-window contract
     loop_crop: int = 448,
     inline_backend: bool = False,
     fuse_matchers: bool = True,

@@ -113,6 +113,13 @@ class LoopDetectorCorrelative:
                 known_rate_threshold=self.cfg.known_rate_threshold,
             )
             if not summary.pose_found:
+                # Gate-failed candidates spent detection time too — the
+                # reference observes the series on every Detect call
+                # (loop_detector_correlative.cpp:17-35), so skipping the
+                # observe here would bias the distribution upward.
+                self._m_detection_time.observe(
+                    int((_time.perf_counter() - t1) * 1e6)
+                )
                 continue
             if getattr(self.scan_matcher, "fused", False):
                 # CSM + GN refinement already ran in one fused dispatch

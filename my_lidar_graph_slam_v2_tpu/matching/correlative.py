@@ -62,12 +62,33 @@ class CorrelativeConfig:
     # The core reports an `exact` flag; the host wrapper re-runs the dense
     # sweep on the (rare) inexact case.
     fine_theta_k: int = 32
-    # "gather": per-beam window gather sweeps (ops/csm.sweep_windows) —
-    # ~100x less HBM traffic than the hit-image matmul on TPU, exact f32
-    # scores, no crop clipping (every beam scores, like the reference).
-    # "matmul": the round-4 hit-image x map-patch formulation (kept for
-    # A/B benchmarking; uses crop_rows/crop_cols and `precision`).
-    sweep_backend: str = "gather"
+    # "matmul" (default): hit-image x map-patch MXU formulation — the
+    # fast path on TPU (16.5 ms/batch-8 honest-regime v5e).  "gather":
+    # per-beam window gathers (ops/csm.sweep_windows) — algorithmically
+    # minimal bytes and no crop clipping (every beam scores, like the
+    # reference), but XLA's TPU gather lowering executes it ~9x SLOWER
+    # than the matmul path (149 ms/batch-8 measured honestly on v5e;
+    # early sub-ms readings were an artifact of the axon tunnel's
+    # deferred execution — see bench.py).  Kept for CPU use and as the
+    # semantics oracle.
+    sweep_backend: str = "matmul"
+    # Fine sweep evaluates only the offsets of the B coarse blocks with
+    # the largest gated coarse bound (0 disables; ignored when the
+    # window has <= B blocks).  Same certified-prune pattern as
+    # fine_theta_k: the coarse block value upper-bounds every fine score
+    # in the block, so the result is exact whenever the winner beats the
+    # (B+1)-th block bound; the core's `exact` flag covers both prunes
+    # and the host wrapper re-runs densely otherwise.  Matters most for
+    # loop-detection windows (11x11 blocks -> ~15x less fine-sweep
+    # traffic); the frontend's 2x2-block window is below the threshold.
+    fine_block_b: int = 10
+    # int8 hit images + int8 MXU coarse sweep for u8 maps: halves the
+    # dominant sweep bytes (the T x crop^2 hit images, written by the
+    # build and read by the coarse matmul) with bit-identical scores
+    # (ops/csm.sweep_from_hits_int8).  Hit counts above 127 would wrap;
+    # the core folds a max-multiplicity check into its `exact` flag and
+    # the host wrapper re-runs densely (bf16) on the degenerate case.
+    coarse_int8: bool = True
 
     @property
     def win_cells(self):
@@ -122,6 +143,13 @@ def _correlative_core(
     if gather:
         # Per-beam window gathers (ops/csm.sweep_windows): shared absolute
         # endpoint cells for both sweeps, no crop, no hit images.
+        if coarse_prob is None:
+            coarse_prob = pool.sliding_window_max2d(
+                prob, cfg.low_resolution
+            )
+            coarse_observed = pool.sliding_window_max2d(
+                observed, cfg.low_resolution
+            )
         row, col, ok = csm.beam_cells_abs(
             ranges, angles, mask, sensor_pose, theta0, step_theta,
             theta_mask, cfg.resolution, offset_xy, n_theta=T,
@@ -139,15 +167,69 @@ def _correlative_core(
             theta_mask, cfg.resolution, offset_xy,
             n_theta=T, crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
         )
+        use_int8 = (
+            (not dense)
+            and cfg.coarse_int8
+            and prob.dtype == jnp.uint8
+            and cfg.precision != "highest"
+        )
         hit_img = csm.build_hit_images(
             hr, hc, valid, theta_mask,
             crop_rows=cfg.crop_rows, crop_cols=cfg.crop_cols,
+            dtype=jnp.int8 if use_int8 else jnp.bfloat16,
         )
-        c_scores, c_known = csm.sweep_from_hits(
-            hit_img, r0, c0, coarse_prob, coarse_observed, x0, y0,
-            nx=nbx, ny=nby, stride=cfg.low_resolution,
-            precision=cfg.precision,
-        )
+        if use_int8:
+            ok_tb = valid & theta_mask[:, None]
+            row_counts = jnp.sum(ok_tb, axis=1).astype(jnp.float32)
+            int8_ok = (
+                csm.max_hit_multiplicity(
+                    hr, hc, ok_tb, crop_cols=cfg.crop_cols
+                )
+                <= 127
+            )
+        if coarse_prob is None:
+            # Pool-on-crop: the sliding-window-max precompute only needs
+            # the coarse sweep's input window (crop + window extent), not
+            # the whole raster — ~6x less pooled area for a 1024^2 map at
+            # crop 384.  Values are identical to slicing a full pooled
+            # map: the slice carries a (win-1)-cell margin so every
+            # output cell sees its complete window, and out-of-raster
+            # cells are zero in both formulations.  Callers with a cached
+            # full pooled map (loop detectors) pass it instead.
+            win = cfg.low_resolution
+            in_rows = cfg.crop_rows + (nby - 1) * win
+            in_cols = cfg.crop_cols + (nbx - 1) * win
+            seg = csm.sweep_input_window(
+                prob, observed, r0, c0, x0, y0,
+                in_rows=in_rows + win - 1, in_cols=in_cols + win - 1,
+                precision=cfg.precision,
+            )
+            pooled = pool.sliding_window_max2d(seg, win)
+            coarse_inp = pooled[:, :in_rows, :in_cols]
+        else:
+            coarse_inp = None
+        if use_int8:
+            if coarse_inp is None:
+                win = cfg.low_resolution
+                coarse_inp = csm.sweep_input_window(
+                    coarse_prob, coarse_observed, r0, c0, x0, y0,
+                    in_rows=cfg.crop_rows + (nby - 1) * win,
+                    in_cols=cfg.crop_cols + (nbx - 1) * win,
+                    precision=cfg.precision,
+                )
+            c_scores, c_known = csm.sweep_from_hits_int8(
+                hit_img, row_counts, coarse_inp,
+                nx=nbx, ny=nby, stride=cfg.low_resolution,
+            )
+        else:
+            c_scores, c_known = csm.sweep_from_hits(
+                hit_img, r0, c0,
+                coarse_prob if coarse_prob is not None else prob,
+                coarse_observed if coarse_prob is not None else observed,
+                x0, y0,
+                nx=nbx, ny=nby, stride=cfg.low_resolution,
+                precision=cfg.precision, precut_inp=coarse_inp,
+            )
 
     # Reference gating: a fine candidate is reachable iff its coarse block
     # beats BOTH thresholds (scan_matcher_correlative.cpp:178-189)
@@ -170,6 +252,19 @@ def _correlative_core(
         sel_theta = jnp.arange(T, dtype=jnp.int32)
         ok_rows = block_ok
 
+    # Top-B coarse-block prune of the fine sweep (matmul path): evaluate
+    # only the offsets of the B blocks whose gated coarse bound is
+    # largest — the dominant fine-sweep cost (one crop-sized map patch
+    # materialized per offset) scales with the offset count.  Certified
+    # like the theta prune: exact iff the winner beats the (B+1)-th
+    # block bound.
+    LR = cfg.low_resolution
+    n_blocks = nby * nbx
+    use_blocks = (
+        (not dense) and (not gather) and 0 < cfg.fine_block_b < n_blocks
+    )
+    c_sel = jnp.take(c_scores, sel_theta, axis=0) if use_topk else c_scores
+
     if gather:
         if use_topk:
             row_sel = jnp.take(row, sel_theta, axis=0)
@@ -185,46 +280,91 @@ def _correlative_core(
         hit_sel = (
             jnp.take(hit_img, sel_theta, axis=0) if use_topk else hit_img
         )
-        f_scores, f_known = csm.sweep_from_hits(
-            hit_sel, r0, c0, prob, observed, x0, y0,
-            nx=nxf, ny=nyf, stride=1, precision=cfg.precision,
-        )
+        if hit_sel.dtype == jnp.int8:
+            # int8 is for the (large) coarse pass; the fine pass reads
+            # only the selected K rows, so bf16 costs nothing here.
+            hit_sel = hit_sel.astype(jnp.bfloat16)
+        if use_blocks:
+            Bb = cfg.fine_block_b
+            blk_bound = jnp.max(
+                jnp.where(ok_rows, c_sel, -jnp.inf), axis=0
+            ).reshape(-1)  # [n_blocks], flattened by * nbx + bx
+            bvals, bidx = jax.lax.top_k(blk_bound, Bb + 1)
+            blk_next_bound = bvals[Bb]
+            bsel = bidx[:Bb]
+            by_b, bx_b = bsel // nbx, bsel % nbx
+            dj, di = np.meshgrid(np.arange(LR), np.arange(LR),
+                                 indexing="ij")
+            dj = jnp.asarray(dj.reshape(-1), jnp.int32)
+            di = jnp.asarray(di.reshape(-1), jnp.int32)
+            offs_y = (by_b[:, None] * LR + dj[None, :]).reshape(-1)
+            offs_x = (bx_b[:, None] * LR + di[None, :]).reshape(-1)
+            off_ji = jnp.stack([offs_y, offs_x], axis=-1)
+            f_scores, f_known = csm.sweep_from_hits_at(
+                hit_sel, r0, c0, prob, observed, x0, y0, off_ji,
+                max_j=nyf - 1, max_i=nxf - 1, precision=cfg.precision,
+            )  # [R, Bb*LR*LR]
+        else:
+            f_scores, f_known = csm.sweep_from_hits(
+                hit_sel, r0, c0, prob, observed, x0, y0,
+                nx=nxf, ny=nyf, stride=1, precision=cfg.precision,
+            )
 
-    eligible = jnp.repeat(
-        jnp.repeat(ok_rows, cfg.low_resolution, axis=1),
-        cfg.low_resolution,
-        axis=2,
-    )  # [R, nyf, nxf]
+    # Flatten (scores, known, eligibility, window coords) to a unified
+    # [R, n_off] layout so the winner selection below is identical for
+    # the dense, gather, and block-pruned shapes.
+    if use_blocks:
+        elig_f = jnp.repeat(
+            jnp.take(
+                ok_rows.reshape(ok_rows.shape[0], -1), bsel, axis=1
+            ),
+            LR * LR,
+            axis=1,
+        )  # [R, Bb*LR*LR]
+        f_scores_f, f_known_f = f_scores, f_known
+    else:
+        eligible = jnp.repeat(
+            jnp.repeat(ok_rows, LR, axis=1), LR, axis=2
+        )  # [R, nyf, nxf]
+        elig_f = eligible.reshape(eligible.shape[0], -1)
+        f_scores_f = f_scores.reshape(f_scores.shape[0], -1)
+        f_known_f = f_known.reshape(f_known.shape[0], -1)
+        jg, ig = np.meshgrid(np.arange(nyf), np.arange(nxf),
+                             indexing="ij")
+        offs_y = jnp.asarray(jg.reshape(-1), jnp.int32)
+        offs_x = jnp.asarray(ig.reshape(-1), jnp.int32)
+    n_off = f_scores_f.shape[1]
 
     # Winner with the reference's (theta, x, y) loop-nesting tie-break:
     # max score, ties broken by smallest global candidate order.  (The
     # top-K rows are bound-ordered, so plain first-wins argmax would not
     # reproduce the dense ordering.)
-    scores_rxy = jnp.where(
-        eligible, f_scores, -jnp.inf
-    ).transpose(0, 2, 1)  # [R, nxf, nyf]
-    flat = scores_rxy.reshape(-1)
+    flat = jnp.where(elig_f, f_scores_f, -jnp.inf).reshape(-1)
     best_sum = jnp.max(flat)
-    x_idx = jnp.arange(nxf, dtype=jnp.int32)[None, :, None]
-    y_idx = jnp.arange(nyf, dtype=jnp.int32)[None, None, :]
     order = (
-        (sel_theta[:, None, None] * nxf + x_idx) * nyf + y_idx
+        (sel_theta[:, None] * nxf + offs_x[None, :]) * nyf
+        + offs_y[None, :]
     ).reshape(-1)
     big = jnp.int32(np.iinfo(np.int32).max)
     best = jnp.argmin(jnp.where(flat == best_sum, order, big))
-    rt, bx, by = (
-        best // (nxf * nyf),
-        (best // nyf) % nxf,
-        best % nyf,
-    )
+    rt, oi = best // n_off, best % n_off
     bt = sel_theta[rt]
+    bx = offs_x[oi]
+    by = offs_y[oi]
     best_score = best_sum * norm
-    best_known = f_known.transpose(0, 2, 1).reshape(-1)[best] * norm
+    best_known = f_known_f.reshape(-1)[best] * norm
     pose_found = best_score > score_threshold
-    # Exact unless a pruned theta's bound could still beat the winner.
-    exact = (
-        best_sum >= kth_bound if use_topk else jnp.bool_(True)
-    )
+    # Exact unless a pruned theta's (or block's) bound could still beat
+    # the winner.
+    exact = jnp.bool_(True)
+    if use_topk:
+        exact = exact & (best_sum >= kth_bound)
+    if use_blocks:
+        exact = exact & (best_sum >= blk_next_bound)
+    if (not gather) and use_int8:
+        # int8 hit counts wrap above 127 beams per cell — degenerate
+        # scans fall back to the dense bf16 path via the host wrapper.
+        exact = exact & int8_ok
 
     best_sensor_pose = jnp.stack(
         [

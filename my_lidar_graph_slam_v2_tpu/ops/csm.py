@@ -36,6 +36,25 @@ import numpy as np
 from . import quant
 
 
+def _extract_patches(part, ny, nx, stride, crop_rows, crop_cols):
+    """im2col patch matrix ``[planes, ny*nx, crop_r*crop_c]`` from an
+    input window ``[planes, in_rows, in_cols]`` — one slice per window
+    offset.  (A two-stage row-stack/column-stack build with (ny+nx) ops
+    instead of ny*nx was tried in round 5 and measured SLOWER on the v5e
+    slice — the doubled intermediate bytes cost more than the saved
+    per-op overhead: fine sweep 5.9 -> 8.8 ms/batch-8.)"""
+    p = part.shape[0]
+    sl = [
+        jax.lax.dynamic_slice(
+            part, (0,) * (part.ndim - 2) + (j * stride, i * stride),
+            (p, crop_rows, crop_cols),
+        ).reshape(p, -1)
+        for j in range(ny)
+        for i in range(nx)
+    ]
+    return jnp.stack(sl, axis=1)
+
+
 # NOTE: deliberately NOT @jax.jit — embedded in jitted matcher cores; a
 # nested jit is an XLA call boundary that blocks fusion (measured 200x+
 # full-core slowdown on TPU v5e).  Host callers wrap it in jax.jit.
@@ -157,13 +176,17 @@ def beam_cells(
 
 
 def build_hit_images(hr, hc, valid, theta_mask, *, crop_rows, crop_cols,
-                     backend: str = "xla"):
+                     backend: str = "xla", dtype=jnp.bfloat16):
     """One-hot hit images via batched outer-product matmul.
 
     One-hot operands are 0/1, and per-cell hit counts stay far below 256,
     so bf16 operands with f32 MXU accumulation are EXACT here — the build
     runs at full bf16 MXU rate regardless of the requested precision.
-    Returns bf16 [T, crop_rows, crop_cols] (exact small-integer counts).
+    Returns ``dtype`` [T, crop_rows, crop_cols] (exact small-integer
+    counts).  ``dtype=jnp.int8`` halves the dominant HBM write (the hit
+    images are the largest sweep intermediate: T x crop^2); counts above
+    127 would wrap, so int8 callers must check ``max count <= 127``
+    (matching/correlative.py folds that into its exactness certificate).
 
     ``backend="pallas"`` uses the fused VMEM kernel (ops/csm_pallas.py),
     which avoids materializing the [T, B, crop] one-hot operands in HBM.
@@ -182,6 +205,17 @@ def build_hit_images(hr, hc, valid, theta_mask, *, crop_rows, crop_cols,
     iota_c = jnp.arange(crop_cols, dtype=jnp.int32)
     onehot_r = (hr[:, :, None] == iota_r[None, None, :]) & valid[:, :, None]
     onehot_c = hc[:, :, None] == iota_c[None, None, :]
+    if dtype == jnp.int8:
+        oh_r = (
+            onehot_r & theta_mask[:, None, None]
+        ).astype(jnp.int8)
+        oh_c = onehot_c.astype(jnp.int8)
+        out = jax.lax.dot_general(
+            jnp.swapaxes(oh_r, 1, 2), oh_c,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        return out.astype(jnp.int8)
     onehot_r = (
         onehot_r.astype(jnp.bfloat16)
         * theta_mask[:, None, None].astype(jnp.bfloat16)
@@ -196,28 +230,16 @@ def build_hit_images(hr, hc, valid, theta_mask, *, crop_rows, crop_cols,
     )
 
 
-def sweep_from_hits(
-    hit_img, r0, c0, prob, observed, x0, y0,
-    *, nx, ny, stride, precision,
+def sweep_input_window(
+    prob, observed, r0, c0, x0, y0,
+    *, in_rows, in_cols, precision,
 ):
-    """Window sweep of precomputed hit images against a map.
-
-    The hit image is the dominant HBM intermediate (T * crop^2); sharing
-    it between the coarse and fine sweeps (identical beam geometry) halves
-    the build cost — see matching/correlative.py.
-    """
-    crop_rows, crop_cols = hit_img.shape[1], hit_img.shape[2]
-    # --- conv input: (prob, observed) crop shifted by the window origin --
-    in_rows = crop_rows + (ny - 1) * stride
-    in_cols = crop_cols + (nx - 1) * stride
-    # input[r, c] = map[r0 + y0 + r, c0 + x0 + c]  (zero outside)
+    """Extract the ``[2, in_rows, in_cols]`` (prob, observed) window the
+    sweep correlates against: ``inp[r, c] = map[r0+y0+r, c0+x0+c]`` with
+    zeros (unknown) outside the raster.  u8 maps stay u8 levels with
+    ``observed`` as 0/255 (see the exact-bf16 note in
+    :func:`sweep_from_hits`); float maps are f32."""
     pad = max(in_rows, in_cols)
-    # u8-quantized maps (grid/map_cache.py) take an EXACT single-pass
-    # bf16 path: integers 0..255 are exactly representable in bf16, the
-    # one-hot hit counts are exact, and the MXU accumulates in f32, so
-    # one bf16 matmul on the raw u8 levels (rescaled by 1/255 afterwards)
-    # reproduces the f32 score bit-for-bit w.r.t. the quantized map at
-    # half the FLOPs/HBM of the hi+lo split the f32 path needs.
     u8_exact = prob.dtype == jnp.uint8 and precision != "highest"
     if u8_exact:
         planes = jnp.stack(
@@ -230,11 +252,46 @@ def sweep_from_hits(
     planes = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)))
     start_r = jnp.clip(r0 + y0 + pad, 0, planes.shape[1] - in_rows)
     start_c = jnp.clip(c0 + x0 + pad, 0, planes.shape[2] - in_cols)
-    inp = jax.lax.dynamic_slice(
+    return jax.lax.dynamic_slice(
         planes,
         (jnp.int32(0), start_r, start_c),
         (2, in_rows, in_cols),
     )
+
+
+def sweep_from_hits(
+    hit_img, r0, c0, prob, observed, x0, y0,
+    *, nx, ny, stride, precision, precut_inp=None,
+):
+    """Window sweep of precomputed hit images against a map.
+
+    The hit image is the dominant HBM intermediate (T * crop^2); sharing
+    it between the coarse and fine sweeps (identical beam geometry) halves
+    the build cost — see matching/correlative.py.
+
+    ``precut_inp`` optionally supplies the ``[2, in_rows, in_cols]``
+    input window directly (e.g. a pooled-on-crop coarse window,
+    matching/correlative.py) — ``prob``/``observed``/``r0``/``c0`` are
+    then only used for dtype dispatch.
+    """
+    crop_rows, crop_cols = hit_img.shape[1], hit_img.shape[2]
+    # --- conv input: (prob, observed) crop shifted by the window origin --
+    in_rows = crop_rows + (ny - 1) * stride
+    in_cols = crop_cols + (nx - 1) * stride
+    # u8-quantized maps (grid/map_cache.py) take an EXACT single-pass
+    # bf16 path: integers 0..255 are exactly representable in bf16, the
+    # one-hot hit counts are exact, and the MXU accumulates in f32, so
+    # one bf16 matmul on the raw u8 levels (rescaled by 1/255 afterwards)
+    # reproduces the f32 score bit-for-bit w.r.t. the quantized map at
+    # half the FLOPs/HBM of the hi+lo split the f32 path needs.
+    u8_exact = prob.dtype == jnp.uint8 and precision != "highest"
+    if precut_inp is not None:
+        inp = precut_inp
+    else:
+        inp = sweep_input_window(
+            prob, observed, r0, c0, x0, y0,
+            in_rows=in_rows, in_cols=in_cols, precision=precision,
+        )
 
     # Precision of the score contraction (hit counts are exact in bf16):
     #   u8 map  — exact single bf16 matmul (see above), any precision
@@ -292,15 +349,9 @@ def sweep_from_hits(
     if n_off <= 256:
         out = None
         for part in parts:
-            sl = [
-                jax.lax.dynamic_slice(
-                    part, (0, j * stride, i * stride),
-                    (2, crop_rows, crop_cols),
-                ).reshape(2, -1)
-                for j in range(ny)
-                for i in range(nx)
-            ]
-            patches = jnp.stack(sl, axis=1)  # [2, ny*nx, crop_r*crop_c]
+            patches = _extract_patches(
+                part, ny, nx, stride, crop_rows, crop_cols
+            )  # [2, ny*nx, crop_r*crop_c]
             o = jax.lax.dot_general(
                 hit_flat,
                 patches,
@@ -387,14 +438,18 @@ def sweep_windows(
     scoring loop (``scan_matcher_correlative.cpp:301-368``) with the
     (theta, beam) axes laid out for the VPU.
 
-    This replaces the round-4 hit-image x map-patch matmul formulation:
-    that one duplicated the map crop once per window offset (~720 MB of
-    HBM patch traffic per case) and was bandwidth-bound at 8.5 ms per
-    8-case batch; the gather reads each window cell once from planes that
-    fit in VMEM, and XLA fuses gather -> bf16 -> ones-contraction without
-    materializing the windows (measured 0.08 ms per 8-case batch on a
-    v5e, ~100x).  Scores are EXACT: u8 maps gather integer levels (exact
-    in bf16, f32 MXU accumulation), f32 maps contract in f32.
+    Algorithmically this moves the fewest possible bytes — each window
+    cell is read once, vs the matmul path duplicating the map crop per
+    window offset (~720 MB of patch traffic per case) — but measured
+    HONESTLY on a v5e (post-fetch regime; the axon tunnel defers
+    execution until the first device->host fetch, so pre-fetch timings
+    are illusions) XLA's TPU gather lowering runs this ~9x SLOWER than
+    the matmul path (149 vs 16.5 ms per 8-case batch).  It is therefore
+    NOT the TPU default; it remains the semantics oracle (no crop
+    clipping — every beam scores, exactly like the reference's per-beam
+    map lookups) and the CPU-friendly path.  Scores are EXACT: u8 maps
+    gather integer levels (exact in bf16, f32 MXU accumulation), f32
+    maps contract in f32.
 
     Out-of-map semantics come for free from the zero padding: window
     starts are clipped into the padded plane, so a window that hangs off
@@ -449,6 +504,144 @@ def sweep_windows(
         )
     out = out.reshape(T_dim, 2, ny, nx)
     return out[:, 0], out[:, 1]
+
+
+def sweep_from_hits_int8(hit_i8, row_counts, inp_u8, *, nx, ny, stride):
+    """Strided window sweep on int8 MXU arithmetic — EXACT for u8 maps.
+
+    ``hit_i8``: [T, crop_r, crop_c] int8 hit counts (<= 127, certified by
+    the caller via :func:`max_hit_multiplicity`).  ``inp_u8``: the
+    [2, in_rows, in_cols] u8 input window (prob levels, observed*255),
+    e.g. from :func:`sweep_input_window`.  The map side is centered to
+    int8 (v - 128) and the exact offset restored afterwards:
+
+        sum_k hit*v = sum_k hit*(v-128) + 128 * sum_k hit
+                    = int8-dot + 128 * row_counts[t]
+
+    with ``row_counts[t] = number of in-crop beams at theta t`` (the
+    per-theta hit-image sum, independent of the window offset).  All
+    sums stay well inside int32, so scores equal the bf16 path
+    bit-for-bit at HALF the hit-image read bytes — the hit images are
+    the dominant sweep traffic on the coarse pass (T x crop^2).
+
+    Returns ``(scores, known)`` f32 ``[T, ny, nx]``.
+    """
+    T_dim = hit_i8.shape[0]
+    crop_r, crop_c = hit_i8.shape[1], hit_i8.shape[2]
+    centered = (inp_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    patches = _extract_patches(
+        centered, ny, nx, stride, crop_r, crop_c
+    )  # [2, n_off, K]
+    out = jax.lax.dot_general(
+        hit_i8.reshape(T_dim, -1),
+        patches,
+        dimension_numbers=(((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [T, 2, n_off]
+    out = (
+        out.astype(jnp.float32) + 128.0 * row_counts[:, None, None]
+    ) * np.float32(1.0 / 255.0)
+    scores = out[:, 0, :].reshape(T_dim, ny, nx)
+    known = out[:, 1, :].reshape(T_dim, ny, nx)
+    return scores, known
+
+
+def max_hit_multiplicity(hr, hc, ok, *, crop_cols):
+    """Max number of beams sharing one hit cell at any theta (the int8
+    overflow certificate for :func:`sweep_from_hits_int8`): computed from
+    the per-(theta, beam) cells directly — sort each theta's cell keys
+    and take the longest equal run — so the int32 hit counts never have
+    to be materialized just to check them."""
+    B = hr.shape[1]
+    # invalid beams get unique negative keys so they never form runs
+    uniq = -1 - jnp.arange(B, dtype=jnp.int32)[None, :]
+    key = jnp.where(ok, hr * jnp.int32(crop_cols) + hc, uniq)
+    skey = jnp.sort(key, axis=1)
+    same = skey[:, 1:] == skey[:, :-1]  # [T, B-1]
+    idx = jnp.arange(1, B, dtype=jnp.int32)[None, :]
+    last_break = jax.lax.cummax(
+        jnp.where(same, jnp.int32(0), idx), axis=1
+    )
+    run = jnp.where(same, idx - last_break, 0)
+    return jnp.max(run) + 1
+
+
+def sweep_from_hits_at(
+    hit_img, r0, c0, prob, observed, x0, y0, off_ji,
+    *, max_j, max_i, precision,
+):
+    """Window sweep of hit images against a map at an EXPLICIT (traced)
+    offset list.
+
+    ``off_ji`` is int32 [n_off, 2]: candidate (j, i) grid offsets in
+    cells relative to the window origin ``(y0, x0)`` (same convention as
+    :func:`sweep_from_hits` with stride 1, i.e. candidate translation =
+    ``(x0 + i, y0 + j)``).  ``max_j``/``max_i`` statically bound the
+    offsets (they are clipped).  Used by the top-B block prune of the
+    fine sweep (matching/correlative.py): instead of materializing one
+    crop-sized map patch per offset of the FULL window (the dominant
+    HBM traffic of the matmul formulation), only the offsets of the B
+    most promising coarse blocks are evaluated — same per-offset math,
+    ~(window/B*blocksize) x fewer bytes.
+
+    Returns ``(scores, known)`` f32 ``[T_rows, n_off]``.
+    """
+    crop_rows, crop_cols = hit_img.shape[1], hit_img.shape[2]
+    in_rows = crop_rows + max_j
+    in_cols = crop_cols + max_i
+    pad = max(in_rows, in_cols)
+    u8_exact = prob.dtype == jnp.uint8 and precision != "highest"
+    if u8_exact:
+        planes = jnp.stack(
+            [prob, observed.astype(jnp.uint8) * jnp.uint8(255)], axis=0
+        )
+    else:
+        planes = jnp.stack(
+            [quant.dequant_prob(prob), observed.astype(jnp.float32)], axis=0
+        )
+    planes = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)))
+    start_r = jnp.clip(r0 + y0 + pad, 0, planes.shape[1] - in_rows)
+    start_c = jnp.clip(c0 + x0 + pad, 0, planes.shape[2] - in_cols)
+    inp = jax.lax.dynamic_slice(
+        planes, (jnp.int32(0), start_r, start_c), (2, in_rows, in_cols)
+    )
+
+    scale = None
+    if u8_exact:
+        parts = [inp.astype(jnp.bfloat16)]
+        hit_c = hit_img
+        scale = np.float32(1.0 / 255.0)
+    elif precision == "highest":
+        parts = [inp]
+        hit_c = hit_img.astype(jnp.float32)
+    else:
+        hi = inp.astype(jnp.bfloat16)
+        parts = [hi]
+        if precision == "split":
+            parts.append((inp - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+        hit_c = hit_img
+
+    jj = jnp.clip(off_ji[:, 0], 0, max_j)
+    ii = jnp.clip(off_ji[:, 1], 0, max_i)
+    hit_flat = hit_c.reshape(hit_c.shape[0], -1)
+
+    out = None
+    for part in parts:
+        patches = jax.vmap(
+            lambda j, i: jax.lax.dynamic_slice(
+                part, (jnp.int32(0), j, i), (2, crop_rows, crop_cols)
+            ).reshape(2, -1)
+        )(jj, ii)  # [n_off, 2, crop^2]
+        o = jax.lax.dot_general(
+            hit_flat,
+            patches,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T_rows, n_off, 2]
+        out = o if out is None else out + o
+    if scale is not None:
+        out = out * scale
+    return out[:, :, 0], out[:, :, 1]
 
 
 def theta_search_params(ranges, beam_mask, resolution, range_theta, n_theta):

@@ -167,7 +167,7 @@ def create_default_slam(
     samples_per_beam: int = 768,
     usable_range_max: float = 20.0,
     n_theta_max: int = 208,
-    crop: int = 384,
+    crop: int = 320,  # reference FPGA map-window contract (scan_matcher_correlative_fpga.cpp:484-527)
     backend=None,
     fused_matcher: bool = True,
     frontend_overrides: Optional[dict] = None,

@@ -123,13 +123,18 @@ def run_reference(binary, log_path, settings, client, out_prefix) -> float:
     return time.time() - t0
 
 
-def run_ours(log_path, settings, out_prefix) -> float:
-    env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+def run_ours(log_path, settings, out_prefix, platform="cpu") -> float:
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    cmd = [sys.executable, "-m",
+           "my_lidar_graph_slam_v2_tpu.pipeline.launcher",
+           str(log_path), str(settings), str(out_prefix)]
+    if platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+        cmd += ["--platform", "cpu"]
+    # platform != cpu: let the launcher attach to the real accelerator
     t0 = time.time()
-    subprocess.run(
-        [sys.executable, "-m", "my_lidar_graph_slam_v2_tpu.pipeline.launcher",
-         str(log_path), str(settings), str(out_prefix), "--platform", "cpu"],
-        check=True, capture_output=True, env=env, cwd=out_prefix.parent)
+    subprocess.run(cmd, check=True, capture_output=True, env=env,
+                   cwd=out_prefix.parent)
     return time.time() - t0
 
 
@@ -217,6 +222,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seeds", type=int, nargs="+", default=[3, 7])
     ap.add_argument("--laps", type=float, default=1.15)
+    ap.add_argument("--ours-platform", default="cpu",
+                    help="platform for OUR engine (cpu, or the default "
+                    "accelerator for the reference-scale ours-on-TPU vs "
+                    "reference-on-CPU wall-clock comparison)")
+    ap.add_argument("--append", action="store_true",
+                    help="append results to an existing report instead of "
+                    "overwriting")
     ap.add_argument("--workdir", default=str(REPO / "h2h"))
     ap.add_argument("--report", default=str(REPO / "PARITY_H2H.md"))
     args = ap.parse_args(argv)
@@ -238,7 +250,8 @@ def main(argv=None):
         ref["wall_s"] = round(t_ref, 2)
 
         tpu_prefix = workdir / f"tpu_synth{seed}"
-        t_tpu = run_ours(log_path, settings, tpu_prefix)
+        t_tpu = run_ours(log_path, settings, tpu_prefix,
+                         platform=args.ours_platform)
         tpu = evaluate(Path(f"{tpu_prefix}.posegraph.json"), gt)
         tpu["wall_s"] = round(t_tpu, 2)
 
@@ -259,7 +272,8 @@ def main(argv=None):
         settings="launcher_settings_default.json + PoseGraphOptimizerType=LM",
         results=results,
     )
-    json.dump(out, open(workdir / "results_h2h.json", "w"), indent=2)
+    tag = "" if args.ours_platform == "cpu" else f"_{args.ours_platform}"
+    json.dump(out, open(workdir / f"results_h2h{tag}.json", "w"), indent=2)
 
     lines = [
         "# PARITY_H2H — head-to-head vs the reference C++ binary",
@@ -275,8 +289,11 @@ def main(argv=None):
         "|---|---|---|---|---|---|",
     ]
     for r in results:
+        ours_label = ("ours (TPU-native, CPU run)"
+                      if args.ours_platform == "cpu"
+                      else f"ours (TPU-native, {args.ours_platform} run)")
         for name, d in (("reference C++", r["reference"]),
-                        ("ours (TPU-native, CPU run)", r["ours"])):
+                        (ours_label, r["ours"])):
             lines.append(
                 f"| {r['seed']} | {name} | {d['nodes']} | {d['loop_edges']} "
                 f"| {d['ate_m']:.4f} | {d['wall_s']} |")
@@ -313,8 +330,14 @@ def main(argv=None):
         "BENCH_r*.json) where the batched CSM sweep is the metric.",
         "",
     ]
-    Path(args.report).write_text("\n".join(lines))
-    print(f"wrote {workdir/'results_h2h.json'} and {args.report}")
+    if args.append and Path(args.report).exists():
+        prev = Path(args.report).read_text()
+        lines[0] = (f"## Appended run (ours on {args.ours_platform}, "
+                    f"laps={args.laps})")
+        Path(args.report).write_text(prev + "\n" + "\n".join(lines))
+    else:
+        Path(args.report).write_text("\n".join(lines))
+    print(f"wrote {workdir}/results_h2h{tag}.json and {args.report}")
     return 0
 
 

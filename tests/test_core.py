@@ -87,3 +87,60 @@ class TestValues:
         v2 = oracle.update_odds_u16(v, odds_hit)
         expect = gv.odds_to_prob(odds_hit * odds_hit)
         assert gv.value_to_prob(v2) == pytest.approx(expect, abs=1e-4)
+
+
+def test_grid_counted_matches_sequential_oracle():
+    """GridCounted (grid/counted.py): batched scatter updates reproduce
+    the reference's sequential per-cell hit/count semantics
+    (grid_counted.cpp:286-305: counts += 1, hits += hit, p = hits/counts,
+    u16 via the shared codec with 0 = unknown)."""
+    import jax.numpy as jnp
+
+    from my_lidar_graph_slam_v2_tpu.grid import values as gv
+    from my_lidar_graph_slam_v2_tpu.grid.counted import GridCounted
+
+    rng = np.random.default_rng(3)
+    rows = cols = 16
+    g = GridCounted(rows, cols)
+    N = 400
+    rr = rng.integers(-2, rows + 2, N)   # includes out-of-raster entries
+    cc = rng.integers(-2, cols + 2, N)
+    hh = rng.random(N) > 0.4
+    vv = rng.random(N) > 0.1
+
+    # sequential oracle
+    hits = np.zeros((rows, cols), np.int64)
+    counts = np.zeros((rows, cols), np.int64)
+    for r, c, h, v in zip(rr, cc, hh, vv):
+        if v and 0 <= r < rows and 0 <= c < cols:
+            counts[r, c] += 1
+            hits[r, c] += bool(h)
+
+    # batched update in two chunks (accumulation across calls)
+    half = N // 2
+    g.update(rr[:half], cc[:half], hh[:half], vv[:half])
+    g.update(rr[half:], cc[half:], hh[half:], vv[half:])
+
+    np.testing.assert_array_equal(np.asarray(g.counts), counts)
+    np.testing.assert_array_equal(np.asarray(g.hits), hits)
+
+    # probability and u16 codec
+    p = np.where(counts > 0, hits / np.maximum(counts, 1), 0.0)
+    np.testing.assert_allclose(np.asarray(g.prob()), p, atol=1e-6)
+    v16 = np.asarray(g.values_u16())
+    assert v16[counts == 0].sum() == 0  # unknown -> 0
+    known = counts > 0
+    expect = np.clip(
+        np.round(
+            gv.VALUE_MIN
+            + (p - gv.PROB_MIN)
+            * (gv.VALUE_MAX - gv.VALUE_MIN)
+            / (gv.PROB_MAX - gv.PROB_MIN)
+        ),
+        gv.VALUE_MIN, gv.VALUE_MAX,
+    )
+    np.testing.assert_allclose(v16[known], expect[known], atol=1)
+    # u8 view = value >> 8
+    np.testing.assert_array_equal(
+        np.asarray(g.values_u8()), (v16 >> 8).astype(np.uint8)
+    )

@@ -153,8 +153,10 @@ def test_checkpoint_owner_sharded_roundtrip(tmp_path):
                 num_processes=2, process_id=rank,
             )
         maps = slam.builder.local_maps
-        held = [lm.local_map_id for lm in maps if lm.logodds is not None]
-        dropped = [lm.local_map_id for lm in maps if lm.logodds is None]
+        # Finished owned maps may be COMPACTED (u8 + packed observed,
+        # grid/builder LocalMap.compact) — they still hold their raster.
+        held = [lm.local_map_id for lm in maps if lm.holds_raster]
+        dropped = [lm.local_map_id for lm in maps if not lm.holds_raster]
         assert dropped, "run too short: retention never dropped a map"
         held_by_rank[rank] = set(held)
         n_scans_held = sum(
@@ -167,9 +169,15 @@ def test_checkpoint_owner_sharded_roundtrip(tmp_path):
         restored = make()
         checkpoint.load(restored, prefix)
         for lm_old, lm_new in zip(maps, restored.builder.local_maps):
-            if lm_old.logodds is None:
-                assert lm_new.logodds is None and lm_new.dropped
+            if not lm_old.holds_raster:
+                assert not lm_new.holds_raster and lm_new.dropped
                 assert lm_new.shape == lm_old.shape  # metadata retained
+            elif lm_old.compacted:
+                assert lm_new.compacted
+                np.testing.assert_array_equal(lm_new.prob_q, lm_old.prob_q)
+                np.testing.assert_array_equal(
+                    lm_new.observed_bits, lm_old.observed_bits
+                )
             else:
                 np.testing.assert_array_equal(
                     np.asarray(lm_new.logodds), np.asarray(lm_old.logodds)

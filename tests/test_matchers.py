@@ -348,3 +348,125 @@ def test_grid_search_and_bb_honor_configured_cost():
         assert not np.allclose(s_sq.covariance, s_ge.covariance), (
             type(mk_sq).__name__
         )
+
+
+def test_fine_block_prune_matches_dense_loop_window():
+    """Top-B coarse-block prune of the fine sweep (CorrelativeConfig.
+    fine_block_b) at loop-detection window size (2.5 m -> 11x11 blocks):
+    whenever the core certifies exact=True the winner must equal the
+    dense sweep's, and the host wrapper must ALWAYS return the dense
+    argmax (certificate fallback otherwise)."""
+    from my_lidar_graph_slam_v2_tpu.matching.correlative import (
+        correlative_core_jit,
+    )
+    from my_lidar_graph_slam_v2_tpu.matching.types import MapRaster
+    from my_lidar_graph_slam_v2_tpu.ops import quant
+
+    rng = np.random.default_rng(5)
+    true_pose = np.array([0.5, -0.4, 0.2])
+    gm_f, _ = build_map(
+        [np.array([0.0, 0.0, 0.0])] * 4 + [true_pose] * 4, rng=rng
+    )
+    prob_u8 = jnp.round(
+        quant.dequant_prob(gm_f.prob) * 255.0
+    ).astype(jnp.uint8)
+    gm = MapRaster(prob_u8, gm_f.observed, RES, gm_f.offset_xy)
+    coarse_p = pool.sliding_window_max2d(gm.prob, 5)
+    coarse_o = pool.sliding_window_max2d(gm.observed, 5)
+
+    for seed in range(3):
+        r2 = np.random.default_rng(40 + seed)
+        pose = true_pose + r2.uniform(-0.4, 0.4, 3) * np.array([1, 1, 0.3])
+        scan = make_scan_arrays(pose, rng=r2)
+        init = pose + r2.uniform(-0.3, 0.3, 3) * np.array([1, 1, 0.2])
+        for b in (2, 10):
+            cfg = CorrelativeConfig(
+                range_x=2.5, range_y=2.5, range_theta=0.5, n_theta_max=64,
+                crop_rows=320, crop_cols=320, fine_block_b=b,
+            )
+            dense_cfg = CorrelativeConfig(
+                range_x=2.5, range_y=2.5, range_theta=0.5, n_theta_max=64,
+                crop_rows=320, crop_cols=320, fine_block_b=0,
+            )
+            args = lambda c: (
+                c, gm.prob, gm.observed, coarse_p, coarse_o,
+                scan.ranges, scan.angles, scan.mask,
+                jnp.asarray(init, jnp.float32),
+                jnp.asarray(gm.offset_xy, jnp.float32),
+                jnp.float32(0.0), jnp.float32(0.0),
+            )
+            # Jitted core (the wrapper's path): eager-vs-jit FMA
+            # differences would otherwise break bit-level comparison.
+            pruned = correlative_core_jit(*args(cfg))
+            dense = correlative_core_jit(*args(dense_cfg), dense=True)
+            if bool(pruned[-1]):
+                np.testing.assert_array_equal(
+                    np.asarray(pruned[0]), np.asarray(dense[0])
+                )
+                assert float(pruned[1]) == float(dense[1])
+            matcher = ScanMatcherCorrelative(cfg)
+            summary = matcher.optimize_pose(ScanMatchingQuery(gm, scan, init))
+            d_est = P.move_backward(
+                np.asarray(dense[0], np.float64), scan.rel_sensor_pose
+            )
+            np.testing.assert_allclose(
+                summary.estimated_pose, d_est, rtol=0, atol=1e-12
+            )
+
+
+def test_int8_coarse_sweep_matches_bf16():
+    """The int8-MXU coarse sweep (CorrelativeConfig.coarse_int8,
+    ops/csm.sweep_from_hits_int8) must reproduce the bf16 path's winner
+    bit-for-bit on u8 maps — both are exact integer arithmetic; the int8
+    form just moves half the hit-image bytes."""
+    from my_lidar_graph_slam_v2_tpu.matching.correlative import (
+        correlative_core_jit,
+    )
+    from my_lidar_graph_slam_v2_tpu.matching.types import MapRaster
+    from my_lidar_graph_slam_v2_tpu.ops import csm, quant
+
+    rng = np.random.default_rng(21)
+    true_pose = np.array([0.25, -0.15, 0.1])
+    gm_f, _ = build_map(
+        [np.array([0.0, 0.0, 0.0])] * 4 + [true_pose] * 4, rng=rng
+    )
+    prob_u8 = jnp.round(
+        quant.dequant_prob(gm_f.prob) * 255.0
+    ).astype(jnp.uint8)
+    gm = MapRaster(prob_u8, gm_f.observed, RES, gm_f.offset_xy)
+    coarse_p = pool.sliding_window_max2d(gm.prob, 5)
+    coarse_o = pool.sliding_window_max2d(gm.observed, 5)
+
+    for seed in range(3):
+        r2 = np.random.default_rng(60 + seed)
+        pose = true_pose + r2.uniform(-0.08, 0.08, 3)
+        scan = make_scan_arrays(pose, rng=r2)
+        init = pose + r2.uniform(-0.05, 0.05, 3)
+        outs = []
+        for int8 in (True, False):
+            cfg = CorrelativeConfig(
+                crop_rows=320, crop_cols=320, coarse_int8=int8,
+            )
+            outs.append(correlative_core_jit(
+                cfg, gm.prob, gm.observed, coarse_p, coarse_o,
+                scan.ranges, scan.angles, scan.mask,
+                jnp.asarray(init, jnp.float32),
+                jnp.asarray(gm.offset_xy, jnp.float32),
+                jnp.float32(0.0), jnp.float32(0.0),
+            ))
+        a, b = outs
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert float(a[1]) == float(b[1])  # score
+        assert bool(a[-1])  # certified (incl. multiplicity <= 127)
+
+    # multiplicity certificate: all beams on one cell -> int8 wraps,
+    # exact=False
+    B = 192
+    r = jnp.ones(B, jnp.float32) * 1.0
+    a_ = jnp.zeros(B, jnp.float32)
+    m_ = jnp.ones(B, bool)
+    mult = csm.max_hit_multiplicity(
+        jnp.zeros((4, B), jnp.int32), jnp.zeros((4, B), jnp.int32),
+        jnp.ones((4, B), bool), crop_cols=320,
+    )
+    assert int(mult) == B
