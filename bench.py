@@ -72,7 +72,7 @@ def build_workload(seed=0, n_maps=4):
     return cases
 
 
-def bench_tpu(cases, iters=20, batch=8):
+def bench_tpu(cases, iters=20, batch=8, with_stages=True):
     """Device throughput: matches are dispatched as vmapped batches (the
     production sharded path, parallel/loop_sharded.py) with inputs staged
     on device.
@@ -149,8 +149,11 @@ def bench_tpu(cases, iters=20, batch=8):
     dt = time.perf_counter() - t0
     rate = iters * batch / dt
 
-    stages = bench_stages(
-        cfg, prob, obs, ranges, angles, mask, poses, offs, batch, iters
+    stages = (
+        bench_stages(
+            cfg, prob, obs, ranges, angles, mask, poses, offs, batch, iters
+        )
+        if with_stages else None
     )
     return rate, stages, out
 
@@ -483,6 +486,11 @@ def main():
     stages["stages_ms_per_batch"]["full_core"] = round(
         1e3 * stages["batch"] / tpu_rate, 3
     )
+    # Saturating-batch throughput: per-dispatch tunnel overhead (~2.6 ms
+    # on this environment's virtualized chip) amortizes with batch; the
+    # headline stays at the series' batch-8 methodology, the saturated
+    # rate is reported alongside.
+    rate16, _, _ = bench_tpu(cases, iters=12, batch=16, with_stages=False)
     result = {
         "metric": "csm_scan_matches_per_sec_per_chip",
         "value": round(tpu_rate, 2),
@@ -492,6 +500,8 @@ def main():
         "cpu_baseline_live": round(cpu_rate_live, 2),
         "platform": __import__("jax").devices()[0].platform,
         "device_kind": __import__("jax").devices()[0].device_kind,
+        "value_batch16": round(rate16, 2),
+        "vs_baseline_batch16": round(rate16 / pinned["cpu_rate"], 2),
         **stages,
     }
     print(json.dumps(result))

@@ -491,8 +491,14 @@ class ScanMatcherCorrelative:
         # would be its own host<->device round trip.
         out = jax.device_get(correlative_core_jit(*args))
         if not bool(out[-1]):
-            # Top-K theta prune could not certify the argmax (winning fine
-            # score below the K-th coarse bound) — rare; redo densely.
+            # A prune (top-K theta / top-B block / int8) could not certify
+            # the argmax — rare; redo densely.  Counted so artifacts show
+            # the true fallback rate.
+            from ..metrics.registry import MetricManager
+
+            MetricManager.instance().counter(
+                f"{self.name}.DenseFallbacks"
+            ).increment()
             out = jax.device_get(correlative_core_jit(*args, dense=True))
         (pose_s, score, known, found, ncost, cov, n_proc, n_total, _) = out
         est_pose = P.move_backward(

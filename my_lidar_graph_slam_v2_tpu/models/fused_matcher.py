@@ -195,6 +195,11 @@ class FusedCorrelativeGNMatcher:
         kw = dict(max_shift=fold["max_shift"])
         out = jax.device_get(_fused_core_deltas(*args, **kw))
         if not bool(out[-1]):
+            from ..metrics.registry import MetricManager
+
+            MetricManager.instance().counter(
+                f"{self.name}.DenseFallbacks"
+            ).increment()
             out = jax.device_get(_fused_core_deltas(*args, dense=True, **kw))
         self.metrics.InputSetupTime.observe(0)
         return self._finish(out, initial_pose, scan, t1)
@@ -229,8 +234,13 @@ class FusedCorrelativeGNMatcher:
         # each pay a full round trip to a remote-attached device).
         out = jax.device_get(_fused_core(*args))
         if not bool(out[-1]):
-            # Top-K theta prune could not certify the CSM argmax — rare;
-            # redo with the dense fine sweep (see matching/correlative.py).
+            # A prune could not certify the CSM argmax — rare; redo with
+            # the dense fine sweep (see matching/correlative.py).
+            from ..metrics.registry import MetricManager
+
+            MetricManager.instance().counter(
+                f"{self.name}.DenseFallbacks"
+            ).increment()
             out = jax.device_get(_fused_core(*args, dense=True))
         return self._finish(out, query.initial_pose, scan, t1)
 

@@ -28,7 +28,7 @@ def main(argv=None):
     ap.add_argument("output", nargs="?", default=None,
                     help="output prefix (default: log stem)")
     ap.add_argument("--map-size", type=int, default=1024)
-    ap.add_argument("--crop", type=int, default=384)
+    ap.add_argument("--crop", type=int, default=320)  # reference FPGA map-window contract
     ap.add_argument("--max-scans", type=int, default=None)
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
