@@ -225,7 +225,9 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
             pooled = pool.sliding_window_max2d(seg, win)
             coarse_inp = pooled[:, :in_rows, :in_cols]
             if depth == 1:
-                return coarse_inp
+                # return hit too: otherwise DCE deletes the hit build from
+                # this prefix and the stage difference goes negative
+                return hit, coarse_inp
             row_counts = jnp.sum(
                 valid & tmask[:, None], axis=1
             ).astype(jnp.float32)

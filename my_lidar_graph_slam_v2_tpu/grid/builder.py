@@ -121,10 +121,12 @@ class LocalMap:
     # build raster of a FINISHED map is dead weight — matching uses the
     # u8-quantized copy (grid/map_cache.py) and the global map rebuilds
     # from scans (construct_global_map) — so compact() replaces it with
-    # the u8 probability raster + bit-packed observed mask on the host
-    # (~1.1 MB vs 5 MB per 1024^2 map).
-    prob_q: Optional[np.ndarray] = None  # [H, W] u8 host (compacted form)
-    observed_bits: Optional[np.ndarray] = None  # packbits(observed) host
+    # the u8 probability raster ON DEVICE (2 MB vs 5 MB per 1024^2 map in
+    # HBM; the observed mask is kept as-is).  Device-resident on purpose:
+    # a host copy would shift the bytes into process RSS while leaving
+    # HBM/host untouched-by-measurement, and the compact raster is read
+    # by device matchers anyway.
+    prob_q: object = None  # [H, W] u8 device (compacted form)
     compacted: bool = False
 
     def __post_init__(self):
@@ -143,20 +145,15 @@ class LocalMap:
         Loop-detection scores are unchanged: the device map cache
         quantizes to exactly this u8 representation on miss anyway
         (ops/quant.quantize_prob), and the global map is constructed from
-        scans, never from local rasters."""
+        scans, never from local rasters.  No host transfer happens here —
+        the u8 plane stays on device."""
         if self.compacted or self.logodds is None:
             return
         from ..ops import quant
 
         self.shape = tuple(self.observed.shape)
-        self.prob_q = np.asarray(
-            quant.quantize_prob(self.logodds, self.observed)
-        )
-        self.observed_bits = np.packbits(
-            np.asarray(self.observed, bool), axis=None
-        )
+        self.prob_q = quant.quantize_prob(self.logodds, self.observed)
         self.logodds = None
-        self.observed = None
         self.coarse_cache.clear()
         self.compacted = True
 
@@ -170,23 +167,15 @@ class LocalMap:
         self.logodds = None
         self.observed = None
         self.prob_q = None
-        self.observed_bits = None
         self.compacted = False
         self.coarse_cache.clear()
         self.dropped = True
 
     def raster(self, resolution: float) -> MapRaster:
         if self.compacted:
-            import jax.numpy as jnp
-
-            n = int(np.prod(self.shape))
-            obs = (
-                np.unpackbits(self.observed_bits, axis=None)[:n]
-                .reshape(self.shape).astype(bool)
-            )
             return MapRaster(
-                jnp.asarray(self.prob_q),
-                jnp.asarray(obs),
+                self.prob_q,
+                self.observed,
                 resolution,
                 self.offset_xy,
                 coarse=self.coarse_cache,

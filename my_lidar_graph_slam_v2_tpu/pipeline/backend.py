@@ -67,11 +67,16 @@ class LidarGraphSlamBackend:
             self._m_end_search_setup.observe(self.step_count)
             self._m_process_time.observe(us(t0))
             return False
+        # This step consumes the hint's query map: advance the cursor so
+        # every finished map is loop-searched exactly once (slam.py
+        # get_loop_search_hint) no matter the outcome below.
+        query_map_id = hint["last_finished_map_id"]
 
         t = time.perf_counter()
         candidates = self.loop_searcher.search(hint)
         self._m_search_time.observe(us(t))
         self._m_candidates.observe(len(candidates))
+        parent.mark_loop_search_processed(query_map_id)
         if not candidates:
             self._m_end_search.observe(self.step_count)
             self._m_process_time.observe(us(t0))

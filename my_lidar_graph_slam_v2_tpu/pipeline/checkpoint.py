@@ -63,9 +63,13 @@ def save(slam, prefix: str):
     for lm in slam.builder.local_maps:
         if lm.compacted:
             # Compacted finished map (LocalMap.compact): persist the u8
-            # form — the round trip is bit-exact by construction.
-            maps[f"pq_{lm.local_map_id}"] = lm.prob_q
-            maps[f"obs_{lm.local_map_id}"] = lm.observed_bits
+            # form — the round trip is bit-exact by construction.  (The
+            # only device->host fetch of the compact raster happens here,
+            # at checkpoint time.)
+            maps[f"pq_{lm.local_map_id}"] = np.asarray(lm.prob_q)
+            maps[f"obs_{lm.local_map_id}"] = np.packbits(
+                np.asarray(lm.observed, bool), axis=None
+            )
             continue
         if lm.logodds is None:  # dropped on this rank: the owner saves it
             continue
@@ -160,12 +164,18 @@ def load(slam, prefix: str):
         )
         if f"pq_{mid}" in maps:
             # Compacted u8 raster (LocalMap.compact): bit-exact restore
-            # of the compact form.
+            # of the compact form (back onto the device).
+            import jax.numpy as jnp
+
+            shape = (cfg.local_map_rows, cfg.local_map_cols)
             lm.logodds = None
-            lm.observed = None
-            lm.shape = (cfg.local_map_rows, cfg.local_map_cols)
-            lm.prob_q = maps[f"pq_{mid}"]
-            lm.observed_bits = maps[f"obs_{mid}"]
+            lm.shape = shape
+            lm.prob_q = jnp.asarray(maps[f"pq_{mid}"])
+            lm.observed = jnp.asarray(
+                np.unpackbits(maps[f"obs_{mid}"], axis=None)[
+                    : shape[0] * shape[1]
+                ].reshape(shape).astype(bool)
+            )
             lm.compacted = True
         elif f"lo_{mid}" in maps:
             # Saved raster: exact, no re-rasterization needed

@@ -32,7 +32,8 @@ from ..sensor.data import ScanData
 
 
 class LidarGraphSlam:
-    def __init__(self, frontend, backend, builder: GridMapBuilder):
+    def __init__(self, frontend, backend, builder: GridMapBuilder,
+                 max_backend_lag: int = 24):
         self.frontend = frontend
         self.backend = backend
         self.builder = builder
@@ -52,6 +53,23 @@ class LidarGraphSlam:
         self._opt_running = False
         self.opt_wait_count = 0  # times the frontend actually blocked
         self.backend_thread_steps = 0  # steps run on the worker thread
+        # Backpressure: bound how many keyframes the frontend may run
+        # ahead of the last COMPLETED backend step.  The reference has no
+        # such bound (its frontend only blocks during pose write-back),
+        # which is fine when the two stages are speed-matched — but once
+        # the frontend outruns the backend by hundreds of keyframes, loop
+        # candidates are searched from badly stale pose hints and wrong
+        # closures start passing the gates (measured round 5: ATE 0.016
+        # at a 16 scans/s frontend vs 0.28 at 57 scans/s on the same
+        # sequence).  Bounded staleness keeps the pipelined mode's
+        # quality at inline-mode levels; 0 disables.
+        self.max_backend_lag = max_backend_lag
+        self._lag_cond = threading.Condition()
+        self._backend_done_nodes = 0
+        self.lag_wait_count = 0  # times the frontend hit the lag bound
+        # Highest finished-map id whose loop search already ran (cursor
+        # semantics, see get_loop_search_hint)
+        self._loop_search_cursor = -1
 
     # ---- frontend entry ----------------------------------------------
     def process_scan(self, scan: ScanData, odom_pose: np.ndarray) -> bool:
@@ -112,9 +130,45 @@ class LidarGraphSlam:
         if self.backend is None:
             return
         if self.inline_backend:
+            # Drain: one step per pending finished map (cursor semantics,
+            # get_loop_search_hint) so no map skips its loop search even
+            # when several finished since the last notify.
             self.backend.run_step(self)
+            while self.has_pending_loop_maps():
+                self.backend.run_step(self)
         else:
             self._backend_notify.set()
+            self.throttle_backend_lag()
+
+    def throttle_backend_lag(self):
+        """Block until the backend's last completed step is within
+        ``max_backend_lag`` keyframes of the graph head (see __init__).
+        Observed into ``Frontend.BackendLagWaitTime`` (us)."""
+        if (
+            self.inline_backend
+            or self.backend is None
+            or self.max_backend_lag <= 0
+        ):
+            return
+        import time as _time
+
+        t0 = _time.perf_counter()
+        waited = False
+        with self._lag_cond:
+            while (
+                len(self.pose_graph.scan_nodes) - self._backend_done_nodes
+                > self.max_backend_lag
+                and not self._backend_stop.is_set()
+            ):
+                waited = True
+                self._lag_cond.wait(timeout=0.05)
+        if waited:
+            self.lag_wait_count += 1
+            from ..metrics.registry import MetricManager
+
+            MetricManager.instance().value_sequence(
+                "Frontend.BackendLagWaitTime"
+            ).observe(int((_time.perf_counter() - t0) * 1e6))
 
     def notify_optimization_started(self):
         """Backend is about to optimize + rewrite poses
@@ -161,6 +215,16 @@ class LidarGraphSlam:
                     self._backend_notify.clear()
                     self.backend.run_step(self)
                     self.backend_thread_steps += 1
+                    with self._lag_cond:
+                        self._backend_done_nodes = len(
+                            self.pose_graph.scan_nodes
+                        )
+                        self._lag_cond.notify_all()
+                    if self.has_pending_loop_maps():
+                        # Drain the backlog: more maps finished while this
+                        # step ran (cursor semantics — every finished map
+                        # gets its loop search)
+                        self._backend_notify.set()
 
         self._backend_thread = threading.Thread(target=worker, daemon=True)
         self._backend_thread.start()
@@ -179,14 +243,20 @@ class LidarGraphSlam:
         if self.backend is not None:
             if self.inline_backend:
                 self.backend.run_step(self)
+                while self.has_pending_loop_maps():
+                    self.backend.run_step(self)
             else:
                 self._backend_stop.set()
                 if self._backend_thread is not None:
                     self._backend_thread.join()
                     self._backend_thread = None
-                # One final pass over the finished graph, as the reference
-                # does on shutdown (lidar_graph_slam_backend.cpp:86-89).
+                # Final passes over the finished graph, as the reference
+                # does on shutdown (lidar_graph_slam_backend.cpp:86-89) —
+                # draining any maps whose loop search is still pending
+                # (cursor semantics).
                 self.backend.run_step(self)
+                while self.has_pending_loop_maps():
+                    self.backend.run_step(self)
 
     # ---- snapshots for the backend -----------------------------------
     def get_pose_graph_for_optimization(self):
@@ -210,21 +280,61 @@ class LidarGraphSlam:
 
     def get_loop_search_hint(self):
         """Snapshot used by the loop searcher (``GetLoopSearchHint``,
-        lidar_graph_slam.cpp:273-381)."""
+        lidar_graph_slam.cpp:273-381).
+
+        Round-5 cursor semantics: the query map is the OLDEST finished
+        map not yet loop-searched, not simply the latest finished one.
+        The reference assumes the backend keeps pace with the frontend
+        (one step per finished map); when a fast frontend finishes
+        several maps between coalesced backend steps, latest-only
+        querying silently skips the intermediate maps' loop checks —
+        measured round 5 as the e2e ATE degrading ~4-17x once the
+        frontend outran the backend.  The cursor guarantees every
+        finished map is loop-searched exactly once regardless of the
+        speed ratio (the backend worker drains the backlog), and the
+        accumulated travel distance is evaluated AT THE QUERY MAP'S last
+        node, so candidate gating matches what a speed-matched backend
+        would have seen."""
         with self._lock:
             finished = [lm for lm in self.builder.local_maps if lm.finished]
-            if not finished:
+            pending = [
+                lm for lm in finished
+                if lm.local_map_id > self._loop_search_cursor
+            ]
+            if not pending:
                 return None
+            query = pending[0]
             scan_poses = self.pose_graph.scan_poses()
             map_ranges = [
                 (lm.local_map_id, lm.scan_node_id_min, lm.scan_node_id_max)
                 for lm in finished
             ]
+            # Travel distance up to the query map's last node (what the
+            # global accumulator read when this map had just finished)
+            upto = min(query.scan_node_id_max + 1, scan_poses.shape[0])
+            seg = scan_poses[:upto, :2]
+            accum_at_query = float(
+                np.sum(np.hypot(np.diff(seg[:, 0]), np.diff(seg[:, 1])))
+            ) if upto >= 2 else 0.0
             return dict(
                 scan_poses=scan_poses,
                 map_ranges=map_ranges,
-                accum_travel_dist=self.builder.accum_travel_dist,
-                last_finished_map_id=finished[-1].local_map_id,
+                accum_travel_dist=accum_at_query,
+                last_finished_map_id=query.local_map_id,
+            )
+
+    def mark_loop_search_processed(self, map_id: int):
+        """Advance the loop-search cursor past ``map_id`` (called by the
+        backend after the detection pass for that query map, whether or
+        not it produced loops)."""
+        with self._lock:
+            self._loop_search_cursor = max(self._loop_search_cursor, map_id)
+
+    def has_pending_loop_maps(self) -> bool:
+        with self._lock:
+            return any(
+                lm.finished and lm.local_map_id > self._loop_search_cursor
+                for lm in self.builder.local_maps
             )
 
     def get_loop_detection_queries(self, candidates):

@@ -68,7 +68,8 @@ def _series_stats(values, scale=1e-3):
 
 
 def run(target_keyframes: int = 1400, seed: int = 0, threaded: bool = True,
-        max_scans: int | None = None, progress: bool = True) -> dict:
+        max_scans: int | None = None, progress: bool = True,
+        builder_overrides: dict | None = None) -> dict:
     import jax
 
     from my_lidar_graph_slam_v2_tpu.datasets.synthetic import ate_rmse
@@ -92,7 +93,8 @@ def run(target_keyframes: int = 1400, seed: int = 0, threaded: bool = True,
     gen_s = time.time() - t_gen
 
     backend = create_default_backend(inline=not threaded)
-    slam = create_default_slam(backend=backend)
+    slam = create_default_slam(backend=backend,
+                               builder_overrides=builder_overrides)
     slam.start_backend()
 
     # Warmup is NOT excluded: like the reference's wall-clock runs, jit
@@ -173,6 +175,8 @@ def run(target_keyframes: int = 1400, seed: int = 0, threaded: bool = True,
         "local_maps": len(slam.builder.local_maps),
         "out_of_extent_hits": int(oob),
         "opt_wait_count": slam.opt_wait_count,
+        "lag_wait_count": getattr(slam, "lag_wait_count", 0),
+        "max_backend_lag": getattr(slam, "max_backend_lag", 0),
         "backend_thread_steps": slam.backend_thread_steps,
         "rss_mb": round(physical_memory_usage() / 2**20, 1),
         "peak_rss_mb": round(peak_memory_usage() / 2**20, 1),
@@ -190,6 +194,8 @@ def main(argv=None):
     ap.add_argument("--platform", default=None)
     ap.add_argument("--inline", action="store_true",
                     help="inline (synchronous) backend instead of threaded")
+    ap.add_argument("--no-compact", action="store_true",
+                    help="disable finished-map compaction (A/B)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -207,6 +213,9 @@ def main(argv=None):
         seed=args.seed,
         threaded=not args.inline,
         max_scans=args.max_scans,
+        builder_overrides=(
+            dict(compact_finished_maps=False) if args.no_compact else None
+        ),
     )
     line = json.dumps(result)
     print(line)

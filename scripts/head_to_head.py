@@ -124,7 +124,13 @@ def run_reference(binary, log_path, settings, client, out_prefix) -> float:
 
 
 def run_ours(log_path, settings, out_prefix, platform="cpu") -> float:
-    env = dict(os.environ, PYTHONPATH=str(REPO))
+    # APPEND the repo to PYTHONPATH: this environment injects its TPU
+    # plugin via PYTHONPATH (/root/.axon_site), which an override would
+    # wipe — the child then cannot initialize the accelerator backend.
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     cmd = [sys.executable, "-m",
            "my_lidar_graph_slam_v2_tpu.pipeline.launcher",
            str(log_path), str(settings), str(out_prefix)]
@@ -133,8 +139,12 @@ def run_ours(log_path, settings, out_prefix, platform="cpu") -> float:
         cmd += ["--platform", "cpu"]
     # platform != cpu: let the launcher attach to the real accelerator
     t0 = time.time()
-    subprocess.run(cmd, check=True, capture_output=True, env=env,
-                   cwd=out_prefix.parent)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, env=env,
+                       cwd=out_prefix.parent, text=True)
+    except subprocess.CalledProcessError as e:
+        sys.stderr.write(e.stderr[-4000:] if e.stderr else "<no stderr>")
+        raise
     return time.time() - t0
 
 

@@ -148,3 +148,60 @@ def test_frontend_matcher_failure_falls_back_to_odometry():
     # Trajectory equals the (noisy) odometry chain, not garbage
     est = slam.get_trajectory()
     assert np.all(np.isfinite(est))
+
+
+def test_backend_lag_backpressure():
+    """The frontend must block once it runs more than max_backend_lag
+    keyframes ahead of the last COMPLETED backend step (bounded
+    staleness; see LidarGraphSlam.__init__ — unbounded lag lets wrong
+    loop closures through at high frontend rates)."""
+    import threading
+    import time
+
+    from my_lidar_graph_slam_v2_tpu.pipeline.slam import LidarGraphSlam
+
+    class SlowBackend:
+        inline = False
+
+        def __init__(self):
+            self.steps = 0
+
+        def run_step(self, parent):
+            time.sleep(0.25)
+            self.steps += 1
+            return True
+
+    class NoopBuilder:
+        local_maps = []
+        accum_travel_dist = 0.0
+
+    class Node:
+        pass
+
+    slam = LidarGraphSlam(frontend=None, backend=SlowBackend(),
+                          builder=NoopBuilder(), max_backend_lag=5)
+    slam.inline_backend = False
+    slam.start_backend()
+    # Simulate the frontend appending keyframes far past the bound
+    slam.pose_graph.scan_nodes.extend(Node() for _ in range(10))
+    t0 = time.perf_counter()
+    slam.notify_backend()  # lag 10 > 5: must block until a step completes
+    waited = time.perf_counter() - t0
+    slam._backend_stop.set()
+    slam._backend_thread.join()
+    assert slam.lag_wait_count == 1
+    assert waited > 0.2, f"frontend did not block on lag ({waited:.3f}s)"
+    assert slam.backend.steps >= 1
+    # Within the bound: no block
+    slam2 = LidarGraphSlam(frontend=None, backend=SlowBackend(),
+                           builder=NoopBuilder(), max_backend_lag=5)
+    slam2.inline_backend = False
+    slam2.pose_graph.scan_nodes.extend(Node() for _ in range(3))
+    slam2.start_backend()
+    t0 = time.perf_counter()
+    slam2.notify_backend()
+    fast = time.perf_counter() - t0
+    slam2._backend_stop.set()
+    slam2._backend_thread.join()
+    assert slam2.lag_wait_count == 0
+    assert fast < 0.1

@@ -128,9 +128,10 @@ def test_compact_finished_maps_equivalence():
     np.testing.assert_allclose(pose_c, pose_n, atol=1e-9)
     np.testing.assert_array_equal(gmap_c, gmap_n)
 
-    # retention: compact form is ~4.5x smaller than the f32+bool raster
+    # retention: compact form (device u8 + bool) is 2.5x smaller than
+    # the f32+bool build raster it replaces in HBM
     h, w = slam_c.builder.cfg.local_map_rows, slam_c.builder.cfg.local_map_cols
     full_bytes = 5 * h * w
     for lm in finished:
-        compact_bytes = lm.prob_q.nbytes + lm.observed_bits.nbytes
-        assert compact_bytes < 0.3 * full_bytes
+        compact_bytes = lm.prob_q.nbytes + lm.observed.nbytes
+        assert compact_bytes <= 0.41 * full_bytes

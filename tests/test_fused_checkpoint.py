@@ -174,9 +174,11 @@ def test_checkpoint_owner_sharded_roundtrip(tmp_path):
                 assert lm_new.shape == lm_old.shape  # metadata retained
             elif lm_old.compacted:
                 assert lm_new.compacted
-                np.testing.assert_array_equal(lm_new.prob_q, lm_old.prob_q)
                 np.testing.assert_array_equal(
-                    lm_new.observed_bits, lm_old.observed_bits
+                    np.asarray(lm_new.prob_q), np.asarray(lm_old.prob_q)
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(lm_new.observed), np.asarray(lm_old.observed)
                 )
             else:
                 np.testing.assert_array_equal(
