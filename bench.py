@@ -296,11 +296,13 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
     kcrop = cfg.crop_rows * cfg.crop_cols
     parts = 1 if prob.dtype == jnp.uint8 else (
         2 if cfg.precision == "split" else 1)
-    esz = 2  # bf16 patch/hit elements
-    patch_bytes = lambda n_off: 2 * n_off * 2 * kcrop * esz * parts
-    hit_bytes = 2 * T * kcrop * esz  # write + read (coarse reuses fine's)
-    bytes_fine = patch_bytes(nxf * nyf) + 2 * K * kcrop * esz
-    bytes_coarse = patch_bytes(nbx * nby) + hit_bytes
+    # u8 maps: int8 hit images (1 B/el, written by the build and read by
+    # the int8 coarse matmul); fine patches + selected hit rows in bf16
+    esz_hit = 1 if prob.dtype == jnp.uint8 else 2
+    patch_bytes = lambda n_off, esz: 2 * n_off * 2 * kcrop * esz * parts
+    hit_bytes = 2 * T * kcrop * esz_hit  # write + read
+    bytes_fine = patch_bytes(nxf * nyf, 2) + 2 * K * kcrop * 2
+    bytes_coarse = patch_bytes(nbx * nby, esz_hit) + hit_bytes
     hbm_bytes = bytes_fine + bytes_coarse
     sweep_time = t[3] - t[1]  # coarse + fine sweep per batch
     achieved_gbps = (

@@ -421,8 +421,11 @@ class MultiHostLoopDetector:
         )
         # Replicated outputs: every local device holds a full copy, but the
         # global array is not fully addressable in multi-process runs.
+        # np.array (copy, not asarray): jax buffers view as READ-ONLY
+        # numpy, and the pruned-inexact fallback below overwrites
+        # per-candidate rows.
         best_pose, score, known, found, ncost, cov, exact = (
-            np.asarray(o.addressable_data(0)) for o in out
+            np.array(o.addressable_data(0)) for o in out
         )
 
         # Final GN refine runs ONLY on the owner (it already holds the

@@ -138,6 +138,11 @@ def run(target_keyframes: int = 1400, seed: int = 0, threaded: bool = True,
                 stages[name] = st
 
     oob = mm.counter("GridMapBuilder.OutOfExtentHits").value
+    fallbacks = {
+        name: int(c.value)
+        for name, c in mm.metrics.items()
+        if name.endswith("DenseFallbacks") and getattr(c, "value", 0)
+    }
     keyframes = slam.process_count
 
     # jit cache sizes: recompile count proxy (VERDICT r03 missing #2)
@@ -174,6 +179,7 @@ def run(target_keyframes: int = 1400, seed: int = 0, threaded: bool = True,
         "loop_edges": n_loop_edges,
         "local_maps": len(slam.builder.local_maps),
         "out_of_extent_hits": int(oob),
+        "dense_fallbacks": fallbacks,
         "opt_wait_count": slam.opt_wait_count,
         "lag_wait_count": getattr(slam, "lag_wait_count", 0),
         "max_backend_lag": getattr(slam, "max_backend_lag", 0),
