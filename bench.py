@@ -246,11 +246,17 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
                 )
                 _, sel = jax.lax.top_k(bound, K)
                 hit_sel = jnp.take(hit, sel, axis=0)
+                rc_sel = jnp.take(row_counts, sel, axis=0)
             else:
-                hit_sel = hit
-            fs, fk = csm.sweep_from_hits(
-                hit_sel.astype(jnp.bfloat16), r0, c0, p, o, x0, y0,
-                nx=nxf, ny=nyf, stride=1, precision=cfg.precision)
+                hit_sel, rc_sel = hit, row_counts
+            # int8 fine sweep (production fine_int8 path)
+            fine_inp = csm.sweep_input_window(
+                p, o, r0, c0, x0, y0,
+                in_rows=cfg.crop_rows + nyf - 1,
+                in_cols=cfg.crop_cols + nxf - 1,
+                precision=cfg.precision)
+            fs, fk = csm.sweep_from_hits_int8(
+                hit_sel, rc_sel, fine_inp, nx=nxf, ny=nyf, stride=1)
             if depth == 3:
                 return fs, fk, cs, ck
             # Data-dependent winner pose keeps the chain live
@@ -301,7 +307,10 @@ def bench_stages(cfg, prob, obs, ranges, angles, mask, poses, offs,
     esz_hit = 1 if prob.dtype == jnp.uint8 else 2
     patch_bytes = lambda n_off, esz: 2 * n_off * 2 * kcrop * esz * parts
     hit_bytes = 2 * T * kcrop * esz_hit  # write + read
-    bytes_fine = patch_bytes(nxf * nyf, 2) + 2 * K * kcrop * 2
+    # u8 maps: BOTH sweeps on the int8 MXU (1 B/el patches + hit rows)
+    bytes_fine = (
+        patch_bytes(nxf * nyf, esz_hit) + 2 * K * kcrop * esz_hit
+    )
     bytes_coarse = patch_bytes(nbx * nby, esz_hit) + hit_bytes
     hbm_bytes = bytes_fine + bytes_coarse
     sweep_time = t[3] - t[1]  # coarse + fine sweep per batch

@@ -280,9 +280,17 @@ def _correlative_core(
         hit_sel = (
             jnp.take(hit_img, sel_theta, axis=0) if use_topk else hit_img
         )
-        if hit_sel.dtype == jnp.int8:
-            # int8 is for the (large) coarse pass; the fine pass reads
-            # only the selected K rows, so bf16 costs nothing here.
+        # Small windows ride the int8 MXU for the FINE sweep too (same
+        # exact centering-correction arithmetic, half the patch bytes);
+        # big windows (dense loop sweeps) and the block-pruned path stay
+        # bf16 (their patch builders chunk/select differently).
+        fine_int8 = (
+            (not gather)
+            and hit_sel.dtype == jnp.int8
+            and not use_blocks
+            and nxf * nyf <= 256
+        )
+        if hit_sel.dtype == jnp.int8 and not fine_int8:
             hit_sel = hit_sel.astype(jnp.bfloat16)
         if use_blocks:
             Bb = cfg.fine_block_b
@@ -304,6 +312,20 @@ def _correlative_core(
                 hit_sel, r0, c0, prob, observed, x0, y0, off_ji,
                 max_j=nyf - 1, max_i=nxf - 1, precision=cfg.precision,
             )  # [R, Bb*LR*LR]
+        elif fine_int8:
+            fine_inp = csm.sweep_input_window(
+                prob, observed, r0, c0, x0, y0,
+                in_rows=cfg.crop_rows + nyf - 1,
+                in_cols=cfg.crop_cols + nxf - 1,
+                precision=cfg.precision,
+            )
+            rc_sel = (
+                jnp.take(row_counts, sel_theta, axis=0)
+                if use_topk else row_counts
+            )
+            f_scores, f_known = csm.sweep_from_hits_int8(
+                hit_sel, rc_sel, fine_inp, nx=nxf, ny=nyf, stride=1,
+            )
         else:
             f_scores, f_known = csm.sweep_from_hits(
                 hit_sel, r0, c0, prob, observed, x0, y0,
